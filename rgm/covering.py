@@ -1,0 +1,297 @@
+"""Region -> S2 cell covering (numpy, no S2 library).
+
+Replaces the reference's use of ``S2RegionCoverer`` (e.g.
+/root/reference/cpp/test/RoaringGeoMapWriterTest.cpp:63-72 and
+cpp/benchmarks/main.cpp:41-49): given a region and a ``max_cells`` budget,
+produce a set of cells whose union contains the region (soundness — never a
+false negative), reasonably tight.
+
+Algorithm: breadth-first face descent with conservative per-cell tests.
+Every candidate cell is classified against the region as
+``outside`` (provably disjoint — dropped), ``inside`` (provably contained —
+emitted), or ``boundary`` (subdivided while the budget allows, else
+emitted). Conservatism always errs toward ``boundary``, so the output is a
+superset cover of the region. Exact-geometry refinement after the index
+join (rgm.geo predicates) removes the false positives, making query results
+equal to the brute-force oracle.
+
+Region spec (plain dict — Arrow/JSON friendly for UDF transport):
+    {"kind": "point", "lat": .., "lng": ..}                      (leaf cell)
+    {"kind": "cap", "lat": .., "lng": .., "radius_m": ..}
+    {"kind": "rect", "lat_lo": .., "lat_hi": .., "lng_lo": .., "lng_hi": ..}
+    {"kind": "polygon", "verts": [[lat, lng], ...]}
+    {"kind": "cell", "cell_id": <uint64 as int>}                 (verbatim)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellmath as cm
+from . import geo
+
+# classification codes
+_OUT, _IN, _BOUNDARY = 0, 1, 2
+
+
+def _cell_geometry(ids: np.ndarray):
+    """centers (N,3), corners (N,4,3), circumradius angle (N,)."""
+    centers = cm.cell_to_center_xyz(ids)
+    corners = cm.cell_corners_xyz(ids)
+    circ = geo.angle_between(corners, centers[:, None, :]).max(axis=1)
+    return centers, corners, circ
+
+
+def _cell_latlng_bbox(ids: np.ndarray):
+    """Conservative lat/lng bbox per cell via the circumscribed disk."""
+    centers, _, circ = _cell_geometry(ids)
+    clat, clng = cm.xyz_to_latlng(centers)
+    dlat = np.degrees(circ)
+    lat_lo = clat - dlat
+    lat_hi = clat + dlat
+    max_abs = np.minimum(np.maximum(np.abs(lat_lo), np.abs(lat_hi)), 89.9)
+    dlng = np.degrees(circ) / np.cos(np.radians(max_abs))
+    full = (dlng >= 180.0) | (lat_hi >= 89.9) | (lat_lo <= -89.9)
+    lng_lo = np.where(full, -180.0, clng - dlng)
+    lng_hi = np.where(full, 180.0, clng + dlng)
+    return lat_lo, lat_hi, lng_lo, lng_hi
+
+
+def _classify_cap(ids: np.ndarray, clat: float, clng: float, radius_m: float) -> np.ndarray:
+    centers, corners, _ = _cell_geometry(ids)
+    cap_center = cm.latlng_to_xyz(np.array([clat]), np.array([clng]))[0]
+    radius = radius_m / geo.EARTH_RADIUS_M
+    d_center = geo.angle_between(centers, cap_center[None, :])
+    d_corners = geo.angle_between(corners, cap_center[None, None, :])
+    inside = (d_corners.max(axis=1) <= radius) & (d_center <= radius)
+    circ = geo.angle_between(corners, centers[:, None, :]).max(axis=1)
+    outside = d_center > (radius + circ)
+    out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+    out[inside] = _IN
+    out[outside & ~inside] = _OUT
+    return out
+
+
+def _classify_rect(
+    ids: np.ndarray, lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float
+) -> np.ndarray:
+    blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
+    disjoint = (
+        (blat_hi < lat_lo) | (blat_lo > lat_hi) | (blng_hi < lng_lo) | (blng_lo > lng_hi)
+    )
+    contained = (
+        (blat_lo >= lat_lo) & (blat_hi <= lat_hi) & (blng_lo >= lng_lo) & (blng_hi <= lng_hi)
+    )
+    out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+    out[contained] = _IN
+    out[disjoint & ~contained] = _OUT
+    return out
+
+
+def _classify_polygon(ids: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
+    intersects = geo.rect_intersects_polygon(blat_lo, blat_hi, blng_lo, blng_hi, verts)
+    contained = geo.rect_inside_polygon(blat_lo, blat_hi, blng_lo, blng_hi, verts)
+    out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+    out[contained] = _IN
+    out[~intersects] = _OUT
+    return out
+
+
+def _face_cells() -> np.ndarray:
+    faces = np.arange(6, dtype=np.uint64)
+    return (faces << np.uint64(cm.POS_BITS)) | (np.uint64(1) << np.uint64(60))
+
+
+def _cover_batch(
+    classify, n_regions: int, max_cells: np.ndarray, max_level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Breadth-first descent batched across regions.
+
+    ``classify(ids, reg)`` -> codes for each (cell, region) pair. Per-region
+    budget: a region whose boundary frontier would exceed its ``max_cells``
+    stops subdividing and emits the frontier. Returns flat
+    (region_idx, cell_id) arrays — the shape the covering UDF emits.
+
+    Batching across regions is what makes this fast: each BFS level is a
+    single set of numpy ops over every in-flight (region, cell) pair instead
+    of a per-region Python loop (72 covers/s unbatched -> thousands/s).
+    """
+    faces = _face_cells()
+    queue = np.tile(faces, n_regions)
+    reg = np.repeat(np.arange(n_regions, dtype=np.int64), len(faces))
+    out_cells: list[np.ndarray] = []
+    out_reg: list[np.ndarray] = []
+    n_emitted = np.zeros(n_regions, dtype=np.int64)
+    lvl = 0
+    while len(queue):
+        codes = classify(queue, reg)
+        in_mask = codes == _IN
+        bd_mask = codes == _BOUNDARY
+        if in_mask.any():
+            out_cells.append(queue[in_mask])
+            out_reg.append(reg[in_mask])
+            n_emitted += np.bincount(reg[in_mask], minlength=n_regions)
+        if not bd_mask.any():
+            break
+        bq = queue[bd_mask]
+        br = reg[bd_mask]
+        bcount = np.bincount(br, minlength=n_regions)
+        # regions that can't afford to subdivide their frontier emit it as-is
+        frozen = (n_emitted + 4 * bcount > max_cells) | (lvl >= max_level)
+        fmask = frozen[br]
+        if fmask.any():
+            out_cells.append(bq[fmask])
+            out_reg.append(br[fmask])
+            n_emitted += np.bincount(br[fmask], minlength=n_regions)
+        live = ~fmask
+        if not live.any():
+            break
+        queue = cm.children(bq[live]).reshape(-1)
+        reg = np.repeat(br[live], 4)
+        lvl += 1
+    if not out_cells:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(out_reg), np.concatenate(out_cells)
+
+
+def cover_caps_batch(
+    clat: np.ndarray,
+    clng: np.ndarray,
+    radius_m: np.ndarray,
+    max_cells: np.ndarray | int = 30,
+    max_level: int = cm.MAX_LEVEL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coverings for many caps at once. Returns (region_idx, cell_id)."""
+    clat = np.atleast_1d(np.asarray(clat, dtype=np.float64))
+    clng = np.atleast_1d(np.asarray(clng, dtype=np.float64))
+    radius = np.atleast_1d(np.asarray(radius_m, dtype=np.float64)) / geo.EARTH_RADIUS_M
+    n = len(clat)
+    centers_xyz = cm.latlng_to_xyz(clat, clng)
+    mc = np.broadcast_to(np.asarray(max_cells, dtype=np.int64), (n,))
+
+    def classify(ids, reg):
+        centers, corners, circ = _cell_geometry(ids)
+        cc = centers_xyz[reg]
+        r = radius[reg]
+        d_center = geo.angle_between(centers, cc)
+        d_corners = geo.angle_between(corners, cc[:, None, :])
+        inside = (d_corners.max(axis=1) <= r) & (d_center <= r)
+        outside = d_center > (r + circ)
+        out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+        out[inside] = _IN
+        out[outside & ~inside] = _OUT
+        return out
+
+    return _cover_batch(classify, n, mc, max_level)
+
+
+def cover_rects_batch(
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lng_lo: np.ndarray,
+    lng_hi: np.ndarray,
+    max_cells: np.ndarray | int = 30,
+    max_level: int = cm.MAX_LEVEL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coverings for many lat/lng rects at once. Returns (region_idx, cell_id)."""
+    lat_lo, lat_hi, lng_lo, lng_hi = (
+        np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in (lat_lo, lat_hi, lng_lo, lng_hi)
+    )
+    n = len(lat_lo)
+    mc = np.broadcast_to(np.asarray(max_cells, dtype=np.int64), (n,))
+
+    def classify(ids, reg):
+        blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
+        disjoint = (
+            (blat_hi < lat_lo[reg])
+            | (blat_lo > lat_hi[reg])
+            | (blng_hi < lng_lo[reg])
+            | (blng_lo > lng_hi[reg])
+        )
+        contained = (
+            (blat_lo >= lat_lo[reg])
+            & (blat_hi <= lat_hi[reg])
+            & (blng_lo >= lng_lo[reg])
+            & (blng_hi <= lng_hi[reg])
+        )
+        out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+        out[contained] = _IN
+        out[disjoint & ~contained] = _OUT
+        return out
+
+    return _cover_batch(classify, n, mc, max_level)
+
+
+def _cover(classify, max_cells: int, max_level: int) -> np.ndarray:
+    def cls(ids, reg):
+        return classify(ids)
+
+    _, cells = _cover_batch(cls, 1, np.array([max_cells], dtype=np.int64), max_level)
+    return cells
+
+
+def cover_cap(
+    lat: float, lng: float, radius_m: float, max_cells: int = 30, max_level: int = cm.MAX_LEVEL
+) -> np.ndarray:
+    return _cover(lambda ids: _classify_cap(ids, lat, lng, radius_m), max_cells, max_level)
+
+
+def cover_rect(
+    lat_lo: float,
+    lat_hi: float,
+    lng_lo: float,
+    lng_hi: float,
+    max_cells: int = 30,
+    max_level: int = cm.MAX_LEVEL,
+) -> np.ndarray:
+    return _cover(
+        lambda ids: _classify_rect(ids, lat_lo, lat_hi, lng_lo, lng_hi), max_cells, max_level
+    )
+
+
+def cover_polygon(
+    verts, max_cells: int = 30, max_level: int = cm.MAX_LEVEL
+) -> np.ndarray:
+    verts = np.asarray(verts, dtype=np.float64)
+    return _cover(lambda ids: _classify_polygon(ids, verts), max_cells, max_level)
+
+
+def cover_region(spec: dict, max_cells: int = 30, max_level: int = cm.MAX_LEVEL) -> np.ndarray:
+    """Dispatch a region spec dict to its covering. Returns uint64 ids."""
+    kind = spec["kind"]
+    if kind == "point":
+        return cm.latlng_to_cell(np.array([spec["lat"]]), np.array([spec["lng"]]))
+    if kind == "cap":
+        return cover_cap(spec["lat"], spec["lng"], spec["radius_m"], max_cells, max_level)
+    if kind == "rect":
+        return cover_rect(
+            spec["lat_lo"], spec["lat_hi"], spec["lng_lo"], spec["lng_hi"], max_cells, max_level
+        )
+    if kind == "polygon":
+        return cover_polygon(spec["verts"], max_cells, max_level)
+    if kind == "cell":
+        return np.array([spec["cell_id"]], dtype=np.uint64)
+    raise ValueError(f"unknown region kind: {kind!r}")
+
+
+def points_in_region(lat: np.ndarray, lng: np.ndarray, spec: dict) -> np.ndarray:
+    """Exact refinement predicate matching cover_region's region semantics."""
+    kind = spec["kind"]
+    if kind == "point":
+        # exact same leaf cell
+        target = cm.latlng_to_cell(np.array([spec["lat"]]), np.array([spec["lng"]]))[0]
+        return cm.latlng_to_cell(np.asarray(lat), np.asarray(lng)) == target
+    if kind == "cap":
+        return geo.points_in_cap(lat, lng, spec["lat"], spec["lng"], spec["radius_m"])
+    if kind == "rect":
+        return geo.points_in_rect(
+            lat, lng, spec["lat_lo"], spec["lat_hi"], spec["lng_lo"], spec["lng_hi"]
+        )
+    if kind == "polygon":
+        return geo.points_in_polygon(lat, lng, np.asarray(spec["verts"], dtype=np.float64))
+    if kind == "cell":
+        cell = np.uint64(spec["cell_id"])
+        leafs = cm.latlng_to_cell(np.asarray(lat), np.asarray(lng))
+        return cm.contains(np.full(leafs.shape, cell), leafs)
+    raise ValueError(f"unknown region kind: {kind!r}")

@@ -1,0 +1,205 @@
+"""Geometry predicates (numpy-vectorized): distances, point-in-polygon,
+rect/segment intersection.
+
+Region semantics used across the engine:
+- ``cap``     spherical cap: great-circle distance(point, center) <= radius.
+- ``rect``    lat/lng axis-aligned box (inclusive).
+- ``polygon`` planar lat/lng polygon (ray casting; boundary counts as inside
+              within float tolerance). The reference tests use small
+              (sub-continental) polygons where this matches spherical
+              semantics for every asserted case.
+
+These same predicates are used both by the covering generator (conservative
+cell tests) and by the exact refinement step after the index join, so engine
+results equal the brute-force oracle by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6_371_010.0  # mean Earth radius (S2Earth convention)
+
+
+def angle_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Great-circle angle (radians) between unit vectors. Broadcasts."""
+    dot = np.sum(a * b, axis=-1)
+    cross = np.linalg.norm(np.cross(a, b), axis=-1)
+    return np.arctan2(cross, dot)
+
+
+def haversine_rad(
+    lat1: np.ndarray, lng1: np.ndarray, lat2: np.ndarray, lng2: np.ndarray
+) -> np.ndarray:
+    """Great-circle angle (radians) between lat/lng points in degrees."""
+    p1, l1, p2, l2 = (np.radians(np.asarray(x, dtype=np.float64)) for x in (lat1, lng1, lat2, lng2))
+    dlat = p2 - p1
+    dlng = l2 - l1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlng / 2.0) ** 2
+    return 2.0 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def haversine_m(lat1, lng1, lat2, lng2) -> np.ndarray:
+    return haversine_rad(lat1, lng1, lat2, lng2) * EARTH_RADIUS_M
+
+
+def points_in_cap(
+    lat: np.ndarray, lng: np.ndarray, clat: float, clng: float, radius_m: float
+) -> np.ndarray:
+    return haversine_m(lat, lng, clat, clng) <= radius_m
+
+
+def points_in_rect(
+    lat: np.ndarray, lng: np.ndarray, lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float
+) -> np.ndarray:
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    return (lat >= lat_lo) & (lat <= lat_hi) & (lng >= lng_lo) & (lng <= lng_hi)
+
+
+def points_in_polygon(lat: np.ndarray, lng: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Ray-casting point-in-polygon in the lat/lng plane.
+
+    verts: (M, 2) array of (lat, lng) ring vertices (closed implicitly).
+    Vectorized over N points; boundary points count as inside (<= on the
+    crossing test plus an explicit on-edge check with tolerance).
+    """
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    verts = np.asarray(verts, dtype=np.float64)
+    vy, vx = verts[:, 0], verts[:, 1]  # y = lat, x = lng
+    vy2, vx2 = np.roll(vy, -1), np.roll(vx, -1)
+
+    y = lat[:, None]
+    x = lng[:, None]
+    # crossing test (half-open rule avoids double-count at vertices)
+    cond = (vy[None, :] > y) != (vy2[None, :] > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = vx[None, :] + (y - vy[None, :]) / (vy2[None, :] - vy[None, :]) * (
+            vx2[None, :] - vx[None, :]
+        )
+    crossings = (cond & (x < x_int)).sum(axis=1)
+    inside = (crossings % 2) == 1
+
+    # boundary tolerance: point on an edge counts as inside
+    ex = vx2[None, :] - vx[None, :]
+    ey = vy2[None, :] - vy[None, :]
+    px = x - vx[None, :]
+    py = y - vy[None, :]
+    seg_len2 = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip((px * ex + py * ey) / np.where(seg_len2 == 0, 1.0, seg_len2), 0.0, 1.0)
+    dx = px - t * ex
+    dy = py - t * ey
+    on_edge = ((dx * dx + dy * dy) < 1e-18).any(axis=1)
+    return inside | on_edge
+
+
+def segments_cross(
+    a1: np.ndarray, a2: np.ndarray, b1: np.ndarray, b2: np.ndarray
+) -> np.ndarray:
+    """Proper/improper 2D segment intersection test. Inputs broadcast;
+    each is (..., 2) as (y, x)."""
+
+    def orient(p, q, r):
+        return (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]) - (
+            q[..., 0] - p[..., 0]
+        ) * (r[..., 1] - p[..., 1])
+
+    d1 = orient(b1, b2, a1)
+    d2 = orient(b1, b2, a2)
+    d3 = orient(a1, a2, b1)
+    d4 = orient(a1, a2, b2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    def on_seg(p, q, r):  # r collinear with pq and within bbox
+        return (
+            (np.minimum(p[..., 0], q[..., 0]) <= r[..., 0])
+            & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+            & (np.minimum(p[..., 1], q[..., 1]) <= r[..., 1])
+            & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(b1, b2, a1))
+        | ((d2 == 0) & on_seg(b1, b2, a2))
+        | ((d3 == 0) & on_seg(a1, a2, b1))
+        | ((d4 == 0) & on_seg(a1, a2, b2))
+    )
+    return proper | touch
+
+
+def rect_intersects_polygon(
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lng_lo: np.ndarray,
+    lng_hi: np.ndarray,
+    verts: np.ndarray,
+) -> np.ndarray:
+    """Exact rect-vs-polygon intersection in the lat/lng plane.
+
+    Rect arrays are (N,); verts is (M, 2). True if any polygon vertex is in
+    the rect, any rect corner is in the polygon, or any edges cross.
+    """
+    lat_lo, lat_hi, lng_lo, lng_hi = (
+        np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in (lat_lo, lat_hi, lng_lo, lng_hi)
+    )
+    verts = np.asarray(verts, dtype=np.float64)
+    # polygon vertex inside rect
+    v_in = (
+        (verts[None, :, 0] >= lat_lo[:, None])
+        & (verts[None, :, 0] <= lat_hi[:, None])
+        & (verts[None, :, 1] >= lng_lo[:, None])
+        & (verts[None, :, 1] <= lng_hi[:, None])
+    ).any(axis=1)
+
+    # rect corner inside polygon
+    corners_lat = np.stack([lat_lo, lat_lo, lat_hi, lat_hi], axis=1)  # (N,4)
+    corners_lng = np.stack([lng_lo, lng_hi, lng_hi, lng_lo], axis=1)
+    c_in = points_in_polygon(corners_lat.ravel(), corners_lng.ravel(), verts).reshape(
+        -1, 4
+    ).any(axis=1)
+
+    # edge crossings: 4 rect edges x M polygon edges
+    n = len(lat_lo)
+    rc = np.stack([corners_lat, corners_lng], axis=-1)  # (N,4,2) as (y,x)
+    r1 = rc  # edges corner k -> corner (k+1)%4
+    r2 = np.roll(rc, -1, axis=1)
+    p1 = np.stack([verts[:, 0], verts[:, 1]], axis=-1)  # (M,2)
+    p2 = np.roll(p1, -1, axis=0)
+    cross = segments_cross(
+        r1[:, :, None, :],  # (N,4,1,2)
+        r2[:, :, None, :],
+        p1[None, None, :, :],  # (1,1,M,2)
+        p2[None, None, :, :],
+    ).reshape(n, -1).any(axis=1)
+    return v_in | c_in | cross
+
+
+def rect_inside_polygon(
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lng_lo: np.ndarray,
+    lng_hi: np.ndarray,
+    verts: np.ndarray,
+) -> np.ndarray:
+    """True where the whole rect is inside the polygon: all 4 corners in
+    polygon and no polygon edge crosses the rect."""
+    lat_lo, lat_hi, lng_lo, lng_hi = (
+        np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in (lat_lo, lat_hi, lng_lo, lng_hi)
+    )
+    verts = np.asarray(verts, dtype=np.float64)
+    corners_lat = np.stack([lat_lo, lat_lo, lat_hi, lat_hi], axis=1)
+    corners_lng = np.stack([lng_lo, lng_hi, lng_hi, lng_lo], axis=1)
+    all_in = points_in_polygon(corners_lat.ravel(), corners_lng.ravel(), verts).reshape(
+        -1, 4
+    ).all(axis=1)
+
+    rc = np.stack([corners_lat, corners_lng], axis=-1)
+    r1, r2 = rc, np.roll(rc, -1, axis=1)
+    p1 = verts
+    p2 = np.roll(verts, -1, axis=0)
+    crossed = segments_cross(
+        r1[:, :, None, :], r2[:, :, None, :], p1[None, None, :, :], p2[None, None, :, :]
+    ).reshape(len(lat_lo), -1).any(axis=1)
+    return all_in & ~crossed
