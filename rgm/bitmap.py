@@ -1,0 +1,115 @@
+"""Roaring-style posting-list codec in numpy.
+
+Re-expresses the reference's posting-list algebra (CRoaring bitmaps keyed by
+cell: /root/reference/cpp/src/RoaringGeoMapWriter.cpp:46-59 build,
+RoaringGeoMapReader.cpp:70-82 fastunion) without native libraries: values are
+uint32 key_ids, split into 16-bit-keyed containers, each stored as a sorted
+uint16 array (< 4096 values) or an 8 KiB bitset (>= 4096), mirroring the
+published Roaring format's two dense/sparse container kinds.
+
+Blob layout (little-endian):
+    u32 n_containers
+    per container: u16 high_key | u8 kind (0=array, 1=bitset) | u32 count
+    payloads concatenated (array: count*u16; bitset: 8192 bytes)
+
+All kernels operate on numpy arrays; the Spark UDAF path wraps them in
+grouped pandas functions (rgm.index). Cardinality reads only the header.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ARRAY, _BITSET = 0, 1
+_ARRAY_MAX = 4096  # container flips to bitset at this cardinality
+_HDR = np.dtype([("key", "<u2"), ("kind", "u1"), ("count", "<u4")])
+
+
+def encode(values: np.ndarray) -> bytes:
+    """Sorted-unique-encode a uint32 value set into a blob."""
+    vals = np.unique(np.asarray(values, dtype=np.uint32))
+    if len(vals) == 0:
+        return np.uint32(0).tobytes()
+    high = (vals >> np.uint32(16)).astype(np.uint16)
+    low = (vals & np.uint32(0xFFFF)).astype(np.uint16)
+    keys, starts = np.unique(high, return_index=True)
+    ends = np.append(starts[1:], len(vals))
+    counts = ends - starts
+    hdr = np.empty(len(keys), dtype=_HDR)
+    hdr["key"] = keys
+    hdr["count"] = counts
+    hdr["kind"] = np.where(counts < _ARRAY_MAX, _ARRAY, _BITSET)
+    payloads: list[bytes] = []
+    for k in range(len(keys)):
+        lo = low[starts[k] : ends[k]]
+        if hdr["kind"][k] == _ARRAY:
+            payloads.append(lo.tobytes())
+        else:
+            bs = np.zeros(1024, dtype=np.uint64)
+            np.bitwise_or.at(
+                bs, (lo >> np.uint16(6)).astype(np.int64), np.uint64(1) << (lo & np.uint16(63)).astype(np.uint64)
+            )
+            payloads.append(bs.tobytes())
+    return np.uint32(len(keys)).tobytes() + hdr.tobytes() + b"".join(payloads)
+
+
+def decode(blob: bytes) -> np.ndarray:
+    """Blob -> sorted uint32 value array."""
+    n = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    hdr = np.frombuffer(blob, dtype=_HDR, count=n, offset=4)
+    off = 4 + hdr.nbytes
+    out: list[np.ndarray] = []
+    for k in range(n):
+        high = np.uint32(hdr["key"][k]) << np.uint32(16)
+        if hdr["kind"][k] == _ARRAY:
+            cnt = int(hdr["count"][k])
+            lo = np.frombuffer(blob, dtype="<u2", count=cnt, offset=off)
+            off += 2 * cnt
+        else:
+            bs = np.frombuffer(blob, dtype="<u8", count=1024, offset=off)
+            off += 8192
+            # unpack set bits: little-endian within each u64 word
+            bits = np.unpackbits(bs.view(np.uint8), bitorder="little")
+            lo = np.nonzero(bits)[0].astype(np.uint16)
+        out.append(high | lo.astype(np.uint32))
+    return np.concatenate(out)
+
+
+def cardinality(blob: bytes) -> int:
+    """Value count, header-only (no payload decode)."""
+    n = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if n == 0:
+        return 0
+    hdr = np.frombuffer(blob, dtype=_HDR, count=n, offset=4)
+    return int(hdr["count"].sum())
+
+
+def union_many(blobs) -> bytes:
+    """OR of many blobs (the reference's fastunion, RoaringGeoMapReader.cpp:81)."""
+    parts = [decode(b) for b in blobs if b is not None]
+    if not parts:
+        return encode(np.empty(0, dtype=np.uint32))
+    return encode(np.concatenate(parts))
+
+
+def union_values(blobs) -> np.ndarray:
+    parts = [decode(b) for b in blobs if b is not None]
+    if not parts:
+        return np.empty(0, dtype=np.uint32)
+    return np.unique(np.concatenate(parts))
+
+
+def intersect(a: bytes, b: bytes) -> bytes:
+    return encode(np.intersect1d(decode(a), decode(b)))
+
+
+def difference(a: bytes, b: bytes) -> bytes:
+    return encode(np.setdiff1d(decode(a), decode(b)))
+
+
+def contains_value(blob: bytes, value: int) -> bool:
+    vals = decode(blob)
+    i = np.searchsorted(vals, np.uint32(value))
+    return bool(i < len(vals) and vals[i] == np.uint32(value))

@@ -1,0 +1,98 @@
+"""Iceberg-style snapshot manifests: atomic stage commits, lineage, resume.
+
+The sandbox has no Iceberg runtime jars, so snapshot semantics are emulated
+with JSON manifests over Parquet directories (SURVEY §7.6): each build stage
+writes to ``<stage>.tmp-<nonce>``, is renamed into place, and is recorded in
+``_manifest.json`` with row counts, file lists (per-partition lineage) and
+wall time. A re-run of the build skips stages whose manifest entry is
+committed and whose files still exist — kill-and-resume lands in the same
+final state as a single-shot run (north_rule: "resumable from
+Iceberg-snapshot checkpoints with per-partition lineage and metrics").
+
+The API is deliberately Iceberg-shaped (snapshot id, manifest list of data
+files) so a real catalog can drop in on a production cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class Manifest:
+    def __init__(self, root: str):
+        self.root = root
+        self.path = os.path.join(root, "_manifest.json")
+        os.makedirs(root, exist_ok=True)
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.doc = json.load(f)
+        else:
+            self.doc = {
+                "format": "rgm-manifest/1",
+                "snapshot_id": uuid.uuid4().hex,
+                "created_utc": time.time(),
+                "params": {},
+                "stages": {},
+            }
+
+    # -- stage lifecycle ----------------------------------------------------
+
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_committed(self, stage: str) -> bool:
+        entry = self.doc["stages"].get(stage)
+        if not entry or entry.get("status") != "committed":
+            return False
+        d = self.stage_dir(stage)
+        if not os.path.isdir(d):
+            return False
+        expected = set(entry.get("files", []))
+        actual = {
+            os.path.relpath(os.path.join(dp, f), d)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if not f.startswith(("_", "."))
+        }
+        return expected <= actual
+
+    def tmp_dir(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}.tmp-{uuid.uuid4().hex[:8]}")
+
+    def commit_stage(self, stage: str, tmp: str, metrics: dict | None = None) -> str:
+        """Atomically promote tmp dir to the stage dir and record lineage."""
+        final = self.stage_dir(stage)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        files = sorted(
+            os.path.relpath(os.path.join(dp, f), final)
+            for dp, _, fs in os.walk(final)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        self.doc["stages"][stage] = {
+            "status": "committed",
+            "committed_utc": time.time(),
+            "files": files,
+            "metrics": metrics or {},
+        }
+        self._flush()
+        return final
+
+    def set_params(self, **params) -> None:
+        self.doc["params"].update(params)
+        self._flush()
+
+    def metrics(self) -> dict:
+        return {s: e.get("metrics", {}) for s, e in self.doc["stages"].items()}
+
+    def _flush(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.doc, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)

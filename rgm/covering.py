@@ -72,11 +72,36 @@ def _classify_cap(ids: np.ndarray, clat: float, clng: float, radius_m: float) ->
     return out
 
 
+def _rect_caps(
+    lat_lo: np.ndarray, lat_hi: np.ndarray, lng_lo: np.ndarray, lng_hi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bounding caps of lat/lng rects: (centers xyz (N,3), radii).
+
+    Radius = max great-circle distance center->corner plus the bulge of the
+    constant-latitude edges ((dlng_rad)^2/8 bounds a latitude circle's
+    deviation from the geodesic chord)."""
+    latc = (np.asarray(lat_lo) + np.asarray(lat_hi)) / 2.0
+    lngc = (np.asarray(lng_lo) + np.asarray(lng_hi)) / 2.0
+    centers = cm.latlng_to_xyz(latc, lngc)
+    r = np.zeros_like(latc, dtype=np.float64)
+    for la, ln in (
+        (lat_lo, lng_lo), (lat_lo, lng_hi), (lat_hi, lng_lo), (lat_hi, lng_hi),
+    ):
+        r = np.maximum(r, geo.haversine_rad(latc, lngc, la, ln))
+    bulge = (np.radians(np.asarray(lng_hi) - np.asarray(lng_lo)) ** 2) / 8.0
+    return centers, np.minimum(r + bulge + 1e-4, np.pi)
+
+
 def _classify_rect(
     ids: np.ndarray, lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float
 ) -> np.ndarray:
+    centers, _, circ = _cell_geometry(ids)
+    cap_c, cap_r = _rect_caps(
+        np.array([lat_lo]), np.array([lat_hi]), np.array([lng_lo]), np.array([lng_hi])
+    )
+    far = geo.angle_between(centers, cap_c) > (cap_r[0] + circ)
     blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
-    disjoint = (
+    disjoint = far | (
         (blat_hi < lat_lo) | (blat_lo > lat_hi) | (blng_hi < lng_lo) | (blng_lo > lng_hi)
     )
     contained = (
@@ -88,13 +113,42 @@ def _classify_rect(
     return out
 
 
+def _bounding_cap(lat_pts: np.ndarray, lng_pts: np.ndarray) -> tuple[np.ndarray, float]:
+    """Bounding cap (center xyz, radius rad) of a closed lat/lng boundary.
+
+    Edges are densified in lat/lng space (the region semantics are planar
+    lat/lng, so boundary extremes can sit mid-edge, not at vertices) and a
+    small slack is added — used only as a conservative disjointness pre-test
+    for coarse cells where lat/lng bboxes degenerate."""
+    lat_pts = np.asarray(lat_pts, dtype=np.float64)
+    lng_pts = np.asarray(lng_pts, dtype=np.float64)
+    t = np.linspace(0.0, 1.0, 9)[:-1]
+    nxt_lat, nxt_lng = np.roll(lat_pts, -1), np.roll(lng_pts, -1)
+    dense_lat = (lat_pts[:, None] + (nxt_lat - lat_pts)[:, None] * t[None, :]).ravel()
+    dense_lng = (lng_pts[:, None] + (nxt_lng - lng_pts)[:, None] * t[None, :]).ravel()
+    xyz = cm.latlng_to_xyz(dense_lat, dense_lng)
+    c = xyz.mean(axis=0)
+    n = np.linalg.norm(c)
+    if n < 1e-9:  # antipodal/degenerate spread: no useful cap
+        return np.array([1.0, 0.0, 0.0]), np.pi
+    c = c / n
+    r = geo.angle_between(xyz, c[None, :]).max()
+    return c, float(min(r * 1.02 + 1e-4, np.pi))
+
+
 def _classify_polygon(ids: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    # coarse prefilter: cell's circumscribed disk vs the polygon's bounding
+    # cap (lat/lng bboxes of face-scale cells are global and useless)
+    centers, corners, circ = _cell_geometry(ids)
+    cap_c, cap_r = _bounding_cap(verts[:, 0], verts[:, 1])
+    far = geo.angle_between(centers, cap_c[None, :]) > (cap_r + circ)
+
     blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
     intersects = geo.rect_intersects_polygon(blat_lo, blat_hi, blng_lo, blng_hi, verts)
     contained = geo.rect_inside_polygon(blat_lo, blat_hi, blng_lo, blng_hi, verts)
     out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
     out[contained] = _IN
-    out[~intersects] = _OUT
+    out[far | ~intersects] = _OUT
     return out
 
 
@@ -137,8 +191,12 @@ def _cover_batch(
         bq = queue[bd_mask]
         br = reg[bd_mask]
         bcount = np.bincount(br, minlength=n_regions)
-        # regions that can't afford to subdivide their frontier emit it as-is
-        frozen = (n_emitted + 4 * bcount > max_cells) | (lvl >= max_level)
+        # regions that can't afford to subdivide their frontier emit it as-is.
+        # Below the index lattice's MIN_LEVEL the budget is ignored: emitting
+        # face-scale cells is never useful (denormalize would explode them to
+        # level 3 anyway, far more cells than descending here costs).
+        frozen = (n_emitted + 4 * bcount > max_cells) & (lvl >= cm.MIN_LEVEL)
+        frozen |= lvl >= max_level
         fmask = frozen[br]
         if fmask.any():
             out_cells.append(bq[fmask])
@@ -200,10 +258,13 @@ def cover_rects_batch(
     )
     n = len(lat_lo)
     mc = np.broadcast_to(np.asarray(max_cells, dtype=np.int64), (n,))
+    cap_c, cap_r = _rect_caps(lat_lo, lat_hi, lng_lo, lng_hi)
 
     def classify(ids, reg):
+        centers, _, circ = _cell_geometry(ids)
+        far = geo.angle_between(centers, cap_c[reg]) > (cap_r[reg] + circ)
         blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
-        disjoint = (
+        disjoint = far | (
             (blat_hi < lat_lo[reg])
             | (blat_lo > lat_hi[reg])
             | (blng_hi < lng_lo[reg])

@@ -1,0 +1,233 @@
+"""Distributed index build: the Spark re-expression of the reference's
+write -> build pipeline (/root/reference/cpp/src/RoaringGeoMapWriter.cpp:17-105).
+
+Stages (each an atomic manifest commit, resumable — SURVEY §3.1):
+
+1. ``covers``   scan + covering UDF (ref A1): region columns -> lattice-
+                denormalized cell cover + lattice ancestors + min-cell order.
+                Materialized once so the expensive UDF never re-runs.
+2. ``keys``     key_id assignment (ref A2): dense rank in (min_cell_ord, key)
+                order via deterministic range buckets + per-bucket window +
+                broadcast offsets — no single-partition global window.
+3. ``pairs``    the join workhorse (ref A3/A4): explode cover cells and
+                ancestor cells to (cell_id, level, is_origin, key_id),
+                range-partitioned and sorted by cell_id so Parquet row-group
+                min/max stats give the reference's block-index pruning (A12)
+                for free; ``cell_l3`` zone column for coarse query pruning
+                (the SuRF-filter analog, A7/A8).
+4. ``postings`` roaring posting lists (ref A3/A17): two-phase salted
+                aggregation (cell_id, salt) -> partial bitmap -> merged
+                bitmap per cell, skew-safe for hot low-level cells.
+
+All per-row work is in Arrow-batched UDFs or pure JVM expressions; the
+explode/groupBy/sort topology is Catalyst-planned.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import bitmap as bm
+from . import cellmath as cm
+from .checkpoint import Manifest
+from .udfs import REGION_COLS, make_cover_udf
+
+# JVM-side cell bit-math (two's-complement int64-safe; SURVEY §7.2):
+# lsb = cell & -cell;  level = 30 - log2(lsb)/2
+LEVEL_EXPR = "cast(30 - cast(round(log2(cell_id & -cell_id)) as int) / 2 as int)"
+# parent at level 3: lsb3 = 2^54; (cell & -(2*lsb3)) | lsb3
+_LSB3 = 1 << 54
+PARENT3_EXPR = f"(cell_id & {-2 * _LSB3}) | {_LSB3}"
+
+
+def _ensure_region_cols(df: DataFrame) -> DataFrame:
+    """Add any missing canonical region columns as typed nulls."""
+    types = {
+        "kind": T.StringType(),
+        "lat": T.DoubleType(), "lng": T.DoubleType(), "radius_m": T.DoubleType(),
+        "lat_lo": T.DoubleType(), "lat_hi": T.DoubleType(),
+        "lng_lo": T.DoubleType(), "lng_hi": T.DoubleType(),
+        "verts": T.ArrayType(T.ArrayType(T.DoubleType())),
+        "cell_id": T.LongType(),
+        "max_cells": T.IntegerType(),
+    }
+    for c in REGION_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+        else:
+            df = df.withColumn(c, F.col(c).cast(types[c]))
+    return df
+
+
+def build_index(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    out_path: str,
+    bucket: int = 3,
+    max_cells: int = 30,
+    anc_min_level: int = cm.MIN_LEVEL,
+    n_salts: int = 16,
+    n_buckets: int | None = None,
+    resume: bool = True,
+) -> Manifest:
+    """Build the cell index for ``df`` (key column + region columns).
+
+    Point rows: kind='point' with lat/lng. Returns the committed Manifest.
+    """
+    man = Manifest(out_path)
+    man.set_params(
+        bucket=bucket, max_cells=max_cells, anc_min_level=anc_min_level,
+        key_col=key_col, n_salts=n_salts,
+    )
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+
+    # -- stage 1: covers ----------------------------------------------------
+    if not (resume and man.is_committed("covers")):
+        t0 = time.time()
+        src = _ensure_region_cols(df)
+        src = src.withColumn(
+            "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
+        )
+        cover_udf = make_cover_udf(bucket, anc_min_level)
+        covered = (
+            src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
+            .select(
+                F.col(key_col).alias("key"),
+                F.col("lat").alias("p_lat"),
+                F.col("lng").alias("p_lng"),
+                F.col("cov.cells").alias("cells"),
+                F.col("cov.ancs").alias("ancs"),
+                F.col("cov.min_cell_ord").alias("min_cell_ord"),
+            )
+        )
+        tmp = man.tmp_dir("covers")
+        covered.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        man.commit_stage("covers", tmp, {"rows": n, "secs": time.time() - t0})
+    covers = spark.read.parquet(man.stage_dir("covers"))
+
+    # -- stage 2: keys (dense rank in (min_cell_ord, key) order) ------------
+    if not (resume and man.is_committed("keys")):
+        t0 = time.time()
+        # deterministic range buckets from one quantile pass (no sampled
+        # shuffle boundaries that could drift between jobs)
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = covers.stat.approxQuantile("min_cell_ord", qs, 0.001)
+        bounds = sorted(set(bounds))
+        bucket_expr = F.lit(0)
+        for i, b in enumerate(bounds):
+            bucket_expr = F.when(F.col("min_cell_ord") > F.lit(b), i + 1).otherwise(
+                bucket_expr
+            )
+        from pyspark.sql import Window
+
+        bucketed = covers.withColumn("rbucket", bucket_expr)
+        counts = {
+            r["rbucket"]: r["n"]
+            for r in bucketed.groupBy("rbucket").agg(F.count("*").alias("n")).collect()
+        }
+        offsets = {}
+        acc = 0
+        for b in range(len(bounds) + 1):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        w = Window.partitionBy("rbucket").orderBy("min_cell_ord", "key")
+        keys = (
+            bucketed.repartition(max(len(bounds) + 1, 1), "rbucket")
+            .withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("key_id", (F.col("rn") + off_map[F.col("rbucket")]).cast("int"))
+            .select("key_id", "key", "p_lat", "p_lng", "min_cell_ord", "cells", "ancs")
+        )
+        tmp = man.tmp_dir("keys")
+        keys.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        man.commit_stage("keys", tmp, {"rows": n, "secs": time.time() - t0})
+    keys = spark.read.parquet(man.stage_dir("keys"))
+
+    # -- stage 3: pairs ------------------------------------------------------
+    if not (resume and man.is_committed("pairs")):
+        t0 = time.time()
+        origin = keys.select(
+            F.explode("cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
+        )
+        anc = keys.select(
+            F.explode("ancs").alias("cell_id"), F.lit(False).alias("is_origin"), "key_id"
+        )
+        pairs = (
+            origin.unionByName(anc)
+            .withColumn("level", F.expr(LEVEL_EXPR))
+            .withColumn("cell_l3", F.expr(PARENT3_EXPR))
+            .repartitionByRange(n_buckets, "cell_id")
+            .sortWithinPartitions("cell_id", "key_id")
+        )
+        tmp = man.tmp_dir("pairs")
+        pairs.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
+
+    # -- stage 4: postings ---------------------------------------------------
+    if not (resume and man.is_committed("postings")):
+        t0 = time.time()
+        pairs = spark.read.parquet(man.stage_dir("pairs"))
+
+        def partial_encode(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["key_id"].to_numpy().astype(np.uint32)
+            return pd.DataFrame(
+                {"cell_id": [pdf["cell_id"].iloc[0]], "bitmap": [bm.encode(ids)]}
+            )
+
+        def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = bm.union_many(list(pdf["bitmap"]))
+            return pd.DataFrame(
+                {
+                    "cell_id": [pdf["cell_id"].iloc[0]],
+                    "card": [bm.cardinality(blob)],
+                    "bitmap": [blob],
+                }
+            )
+
+        partial_schema = "cell_id long, bitmap binary"
+        final_schema = "cell_id long, card int, bitmap binary"
+        postings = (
+            pairs.filter("is_origin")
+            .withColumn("salt", F.col("key_id") % n_salts)
+            .groupBy("cell_id", "salt")
+            .applyInPandas(partial_encode, partial_schema)
+            .groupBy("cell_id")
+            .applyInPandas(merge_blobs, final_schema)
+            .withColumn("level", F.expr(LEVEL_EXPR))
+            .withColumn("cell_l3", F.expr(PARENT3_EXPR))
+            .repartitionByRange(max(n_buckets // 2, 1), "cell_id")
+            .sortWithinPartitions("cell_id")
+        )
+        tmp = man.tmp_dir("postings")
+        postings.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
+
+    return man
+
+
+def load_keys(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(Manifest(index_path).stage_dir("keys")).select(
+        "key_id", "key", "p_lat", "p_lng"
+    )
+
+
+def load_pairs(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(Manifest(index_path).stage_dir("pairs"))
+
+
+def load_postings(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(Manifest(index_path).stage_dir("postings"))

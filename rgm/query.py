@@ -1,0 +1,303 @@
+"""Query serving: Contains / Intersects / kNN / tile assignment.
+
+Re-expresses the reference reader's probe pipeline
+(/root/reference/cpp/src/RoaringGeoMapReader.cpp:39-91) as DataFrame joins
+(SURVEY §3.3). The hierarchy-containment match is decomposed into pure
+equi-joins (SURVEY §7.3 strategy (a)): the index stores every cover cell's
+lattice ancestors, so
+
+    join1: query origin cells  vs ALL index rows      (index finer-or-equal)
+    join2: query ancestor cells vs index ORIGIN rows  (index coarser)
+
+both on ``cell_id`` — one physical join with a residual condition. The
+query side is a covering of the (small) query batch, so Catalyst broadcasts
+it; the big pairs table is never shuffled. A coarse ``cell_l3`` IN-list
+derived from the query covering is pushed into the Parquet scan for
+row-group pruning — the Spark analog of the reference's SuRF prefilter +
+block-max index (A7/A8/A12).
+
+Cell-level matches are a sound superset; ``refine=True`` applies the exact
+geometry predicate (rgm.geo) to survivors, making results equal to the
+brute-force oracle (reference C1 north_star semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cellmath as cm
+from . import bitmap as bm
+from .index import PARENT3_EXPR, _ensure_region_cols, load_keys, load_pairs, load_postings
+from .udfs import REGION_COLS, make_cover_udf, make_tile_udf, refine_udf
+
+
+def _cover_queries(queries: DataFrame, bucket: int, max_cells: int) -> DataFrame:
+    """queries (query_id + region cols) -> + cells / ancs arrays."""
+    q = _ensure_region_cols(queries)
+    q = q.withColumn("max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int"))
+    cover_udf = make_cover_udf(bucket)
+    return q.withColumn("qcov", cover_udf(*[F.col(c) for c in REGION_COLS]))
+
+
+def candidate_keys(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    bucket: int = 3,
+    max_cells: int = 30,
+    prune: bool = True,
+) -> DataFrame:
+    """Cell-level candidate (query_id, key_id) pairs — the reference's
+    bitmap-union result set (A17) before geometric refinement."""
+    covered = _cover_queries(queries, bucket, max_cells)
+
+    q_origin = covered.select(
+        "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
+    )
+    q_anc = covered.select(
+        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
+    )
+    q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
+
+    pairs = load_pairs(spark, index_path)
+    if prune:
+        # zone-map pruning: the query covering's level-3 prefixes are known
+        # driver-side and tiny; IN-filter reaches Parquet row-group stats.
+        prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
+        pairs = pairs.filter(F.col("cell_l3").isin(prefixes))
+
+    joined = pairs.join(
+        F.broadcast(q_cells), on="cell_id", how="inner"
+    ).filter(F.col("is_origin") | ~F.col("is_anc"))
+    return joined.select("query_id", "key_id").distinct()
+
+
+def search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    bucket: int = 3,
+    max_cells: int = 30,
+    refine: bool = True,
+    prune: bool = True,
+) -> DataFrame:
+    """Intersects/Contains query (point payloads): keys whose indexed point
+    lies in each query region.
+
+    With refine=False this is the reference's exact `Contains` output — the
+    cell-level candidate key set (RoaringGeoMapReader.cpp:39-91 returns every
+    key whose cover cell-intersects the query cover; SURVEY Table C1 note).
+    With refine=True candidates are filtered by the exact geometry predicate.
+    Returns (query_id, key_id, key, p_lat, p_lng).
+    """
+    cand = candidate_keys(spark, index_path, queries, bucket, max_cells, prune)
+    keys = load_keys(spark, index_path)
+    out = cand.join(keys, on="key_id", how="inner")
+    if not refine:
+        return out.select("query_id", "key_id", "key", "p_lat", "p_lng")
+    qcols = _ensure_region_cols(queries).select(
+        "query_id", *[c for c in REGION_COLS if c != "max_cells"]
+    )
+    refined = (
+        out.join(F.broadcast(qcols), on="query_id", how="inner")
+        .filter(
+            refine_udf()(
+                F.col("p_lat"), F.col("p_lng"),
+                F.col("kind"), F.col("lat"), F.col("lng"), F.col("radius_m"),
+                F.col("lat_lo"), F.col("lat_hi"), F.col("lng_lo"), F.col("lng_hi"),
+                F.col("verts"), F.col("cell_id"),
+            )
+        )
+    )
+    return refined.select("query_id", "key_id", "key", "p_lat", "p_lng")
+
+
+def count_keys(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    bucket: int = 3,
+    max_cells: int = 30,
+    prune: bool = True,
+) -> DataFrame:
+    """Distinct candidate-key count per query via roaring posting lists —
+    the bitmap fastunion path (A16/A17), never touching per-key rows."""
+    covered = _cover_queries(queries, bucket, max_cells)
+    q_origin = covered.select(
+        "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
+    )
+    q_anc = covered.select(
+        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
+    )
+    q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
+
+    postings = load_postings(spark, index_path)
+    if prune:
+        prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
+        postings = postings.filter(F.col("cell_l3").isin(prefixes))
+
+    # ancestor-side matches need origin postings only; origin-side matches
+    # any posting row. postings table holds origin cells only, and the
+    # index's ancestor rows have no postings — so q_origin must match
+    # descendant postings via the pairs path. For counting we instead union
+    # per-cell bitmaps over BOTH match directions using the pairs-equivalent
+    # join on postings of origin cells:
+    #   q origin cell matches posting cells in its descendant range
+    #   q ancestor cell matches posting cells exactly
+    # Descendant-range matching uses a range join bounded by the pruned scan.
+    q_ranges = covered.select(
+        "query_id", F.explode("qcov.cells").alias("qcell")
+    )
+    rng_udf = _range_bounds_udf()
+    q_ranges = q_ranges.withColumn("rb", rng_udf("qcell")).select(
+        "query_id", F.col("rb.lo").alias("lo"), F.col("rb.hi").alias("hi")
+    )
+    desc = postings.join(
+        F.broadcast(q_ranges),
+        (F.col("cell_id") >= F.col("lo")) & (F.col("cell_id") <= F.col("hi")),
+        "inner",
+    ).select("query_id", "bitmap")
+    anc_match = postings.join(
+        F.broadcast(q_anc.select("query_id", "cell_id")), on="cell_id", how="inner"
+    ).select("query_id", "bitmap")
+
+    def union_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = bm.union_values(list(pdf["bitmap"]))
+        return pd.DataFrame({"query_id": [pdf["query_id"].iloc[0]], "n_keys": [len(vals)]})
+
+    return (
+        desc.unionByName(anc_match)
+        .groupBy("query_id")
+        .applyInPandas(union_count, "query_id string, n_keys long")
+    )
+
+
+def _range_bounds_udf():
+    @F.pandas_udf(
+        T.StructType(
+            [T.StructField("lo", T.LongType()), T.StructField("hi", T.LongType())]
+        )
+    )
+    def rb(cell: pd.Series) -> pd.DataFrame:
+        ids = cm.from_spark(cell.to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {"lo": cm.to_spark(cm.range_min(ids)), "hi": cm.to_spark(cm.range_max(ids))}
+        )
+
+    return rb
+
+
+def assign_tiles(df: DataFrame, level: int, lat_col: str = "lat", lng_col: str = "lng") -> DataFrame:
+    """Raster->vector tile assignment (SURVEY Table C4): every point row gets
+    its level-``level`` tile id. Pure map — no shuffle."""
+    return df.withColumn("tile_id", make_tile_udf(level)(F.col(lat_col), F.col(lng_col)))
+
+
+def tiles_for_regions(
+    queries: DataFrame, level: int, max_tiles: int = 4096
+) -> DataFrame:
+    """Vector->raster: all level-``level`` tiles intersecting each region.
+    Returns (query_id, tile_id) exploded."""
+    q = _ensure_region_cols(queries)
+    q = q.withColumn("max_cells", F.coalesce(F.col("max_cells"), F.lit(max_tiles)).cast("int"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def tiles_udf(
+        kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
+        lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
+        verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
+    ) -> pd.Series:
+        from .udfs import _region_covers
+
+        covers = _region_covers(
+            kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
+            verts, cell_id, pd.Series(np.full(len(kind), max_tiles)),
+        )
+        out = []
+        for c in covers:
+            # expand/snap the cover to exactly `level`
+            lv = cm.level(c)
+            fine = c[lv >= level]
+            parts = (
+                [np.unique(cm.parent(fine, np.full(len(fine), level)))] if len(fine) else []
+            )
+            cur = c[lv < level]
+            while len(cur):
+                lvc = cm.level(cur)
+                at = cur[lvc == level]
+                if len(at):
+                    parts.append(at)
+                below = cur[lvc < level]
+                cur = (
+                    cm.children(below).reshape(-1) if len(below) else np.empty(0, np.uint64)
+                )
+            tiles = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+            out.append(cm.to_spark(tiles).tolist())
+        return pd.Series(out)
+
+    covered = q.withColumn(
+        "tiles", tiles_udf(*[F.col(c) for c in REGION_COLS])
+    )
+    return covered.select("query_id", F.explode("tiles").alias("tile_id"))
+
+
+def knn(
+    spark: SparkSession,
+    index_path: str,
+    query_points: DataFrame,
+    k: int,
+    r0_m: float = 2000.0,
+    max_rounds: int = 8,
+    bucket: int = 3,
+) -> DataFrame:
+    """k nearest indexed keys per query point (SURVEY Table C3).
+
+    Iterative ring expansion: issue cap queries of growing radius (x4 per
+    round) until a query has >= k exact candidates within the radius (then
+    the true kNN is a subset of them), finish with a per-query window top-k.
+    All rounds are batch jobs over the still-unsatisfied queries.
+    """
+    from pyspark.sql import Window
+
+    from .udfs import haversine_udf
+
+    remaining = query_points.select("query_id", F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"))
+    results = None
+    radius = r0_m
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        caps = remaining.select(
+            "query_id",
+            F.lit("cap").alias("kind"),
+            F.col("q_lat").alias("lat"),
+            F.col("q_lng").alias("lng"),
+            F.lit(float(radius)).alias("radius_m"),
+        )
+        hits = search(spark, index_path, caps, bucket=bucket, refine=True)
+        hits = (
+            hits.join(F.broadcast(remaining), on="query_id")
+            .withColumn("dist_m", haversine_udf("p_lat", "p_lng", "q_lat", "q_lng"))
+            .select("query_id", "key_id", "key", "dist_m")
+        )
+        cnt = hits.groupBy("query_id").agg(F.count("*").alias("n"))
+        done_ids = cnt.filter(F.col("n") >= k).select("query_id")
+        done = hits.join(F.broadcast(done_ids), on="query_id", how="left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_ids, on="query_id", how="left_anti")
+        radius *= 4.0
+    # leftover queries (fewer than k indexed keys in max radius): keep all hits
+    if results is None:
+        results = spark.createDataFrame(
+            [], "query_id string, key_id int, key string, dist_m double"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("key_id").asc())
+    return (
+        results.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "key_id", "key", "dist_m", "rank")
+    )

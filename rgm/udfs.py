@@ -1,0 +1,294 @@
+"""Arrow-batched pandas UDFs bridging Spark columns to the numpy kernels.
+
+Per `BASELINE.json` input_hint: no per-row Python — every UDF here receives
+whole Arrow batches and dispatches to vectorized kernels (rgm.cellmath /
+rgm.covering / rgm.geo). Region rows are batched by kind so caps and rects
+go through the fully-batched coverers.
+
+Canonical region columns (nullable where unused; see rgm.query):
+    kind: 'point' | 'cap' | 'rect' | 'polygon' | 'cell'
+    lat, lng, radius_m: double        (point / cap; 'cell' passes cell_id via lat? no — see cell_id col)
+    lat_lo, lat_hi, lng_lo, lng_hi: double   (rect)
+    verts: array<array<double>>       (polygon, [[lat, lng], ...])
+    cell_id: long                     (cell kind, two's-complement int64)
+    max_cells: int                    (covering budget)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cellmath as cm
+from . import covering as cov
+
+ORD_FLIP = np.uint64(1) << np.uint64(63)
+
+
+def ord_shift(ids_u64: np.ndarray) -> np.ndarray:
+    """uint64 -> order-preserving int64 (XOR sign bit)."""
+    return (np.asarray(ids_u64, dtype=np.uint64) ^ ORD_FLIP).view(np.int64)
+
+
+def _region_covers(
+    kind: pd.Series,
+    lat: pd.Series,
+    lng: pd.Series,
+    radius_m: pd.Series,
+    lat_lo: pd.Series,
+    lat_hi: pd.Series,
+    lng_lo: pd.Series,
+    lng_hi: pd.Series,
+    verts: pd.Series,
+    cell_id: pd.Series,
+    max_cells: pd.Series,
+) -> list[np.ndarray]:
+    """Covering per row (uint64 arrays), batched by kind."""
+    n = len(kind)
+    out: list[np.ndarray | None] = [None] * n
+    kinds = kind.to_numpy()
+    mc = max_cells.fillna(30).to_numpy().astype(np.int64)
+
+    sel = np.nonzero(kinds == "point")[0]
+    if len(sel):
+        leafs = cm.latlng_to_cell(lat.to_numpy()[sel], lng.to_numpy()[sel])
+        for i, idx in enumerate(sel):
+            out[idx] = leafs[i : i + 1]
+
+    sel = np.nonzero(kinds == "cap")[0]
+    if len(sel):
+        reg, cells = cov.cover_caps_batch(
+            lat.to_numpy()[sel], lng.to_numpy()[sel], radius_m.to_numpy()[sel], mc[sel]
+        )
+        order = np.argsort(reg, kind="stable")
+        reg, cells = reg[order], cells[order]
+        bounds = np.searchsorted(reg, np.arange(len(sel) + 1))
+        for i, idx in enumerate(sel):
+            out[idx] = cells[bounds[i] : bounds[i + 1]]
+
+    sel = np.nonzero(kinds == "rect")[0]
+    if len(sel):
+        reg, cells = cov.cover_rects_batch(
+            lat_lo.to_numpy()[sel],
+            lat_hi.to_numpy()[sel],
+            lng_lo.to_numpy()[sel],
+            lng_hi.to_numpy()[sel],
+            mc[sel],
+        )
+        order = np.argsort(reg, kind="stable")
+        reg, cells = reg[order], cells[order]
+        bounds = np.searchsorted(reg, np.arange(len(sel) + 1))
+        for i, idx in enumerate(sel):
+            out[idx] = cells[bounds[i] : bounds[i + 1]]
+
+    sel = np.nonzero(kinds == "polygon")[0]
+    for idx in sel:
+        v = np.asarray([list(p) for p in verts.iloc[idx]], dtype=np.float64)
+        out[idx] = cov.cover_polygon(v, int(mc[idx]))
+
+    sel = np.nonzero(kinds == "cell")[0]
+    if len(sel):
+        ids = cm.from_spark(cell_id.to_numpy()[sel].astype(np.int64))
+        for i, idx in enumerate(sel):
+            out[idx] = ids[i : i + 1]
+
+    return [c if c is not None else np.empty(0, dtype=np.uint64) for c in out]
+
+
+_COVER_STRUCT = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("ancs", T.ArrayType(T.LongType())),
+        T.StructField("min_cell_ord", T.LongType()),
+    ]
+)
+
+REGION_COLS = [
+    "kind", "lat", "lng", "radius_m",
+    "lat_lo", "lat_hi", "lng_lo", "lng_hi",
+    "verts", "cell_id", "max_cells",
+]
+
+
+def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
+    """UDF: region columns -> struct(cells, ancs, min_cell_ord).
+
+    cells = covering denormalized to the level lattice (reference
+    Denormalize semantics, RoaringGeoMapWriter.cpp:21); ancs = each cell's
+    lattice ancestors at levels >= anc_min_level; min_cell_ord = uint64-min
+    cover cell, order-shifted (reference key clustering order,
+    RoaringGeoMapWriter.h:20-24).
+    """
+
+    @F.pandas_udf(_COVER_STRUCT)
+    def cover_udf(
+        kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
+        lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
+        verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
+    ) -> pd.DataFrame:
+        covers = _region_covers(
+            kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
+            verts, cell_id, max_cells,
+        )
+        # flat-denormalize + ancestors across the whole batch in two calls
+        lens = np.array([len(c) for c in covers], dtype=np.int64)
+        flat = (
+            np.concatenate(covers) if lens.sum() else np.empty(0, dtype=np.uint64)
+        )
+        row_of = np.repeat(np.arange(len(covers)), lens)
+        dn_parts: list[np.ndarray] = []
+        dn_rows: list[np.ndarray] = []
+        if len(flat):
+            # denormalize preserves multiplicity per source cell; do it per
+            # unique level delta in a batch
+            lv = cm.level(flat)
+            target = cm.snap_level_up(lv, bucket)
+            for d in np.unique(target - lv):
+                m = (target - lv) == d
+                cells_d = flat[m]
+                rows_d = row_of[m]
+                for _ in range(int(d)):
+                    cells_d = cm.children(cells_d).reshape(-1)
+                    rows_d = np.repeat(rows_d, 4)
+                dn_parts.append(cells_d)
+                dn_rows.append(rows_d)
+        if dn_parts:
+            dn_cells = np.concatenate(dn_parts)
+            dn_row = np.concatenate(dn_rows)
+        else:
+            dn_cells = np.empty(0, dtype=np.uint64)
+            dn_row = np.empty(0, dtype=np.int64)
+
+        anc_cells, anc_src = cm.ancestors_at_lattice(dn_cells, bucket)
+        if len(anc_cells):
+            keep = cm.level(anc_cells) >= anc_min_level
+            anc_cells, anc_src = anc_cells[keep], anc_src[keep]
+        anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
+
+        n = len(covers)
+        cells_out: list[list[int]] = [[] for _ in range(n)]
+        ancs_out: list[list[int]] = [[] for _ in range(n)]
+        mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(dn_cells):
+            sp = cm.to_spark(dn_cells)
+            ords = ord_shift(dn_cells)
+            order = np.argsort(dn_row, kind="stable")
+            bounds = np.searchsorted(dn_row[order], np.arange(n + 1))
+            for i in range(n):
+                sl = order[bounds[i] : bounds[i + 1]]
+                cells_out[i] = sp[sl].tolist()
+                if len(sl):
+                    mins[i] = ords[sl].min()
+        if len(anc_cells):
+            asp_all = cm.to_spark(anc_cells)
+            order = np.argsort(anc_row, kind="stable")
+            bounds = np.searchsorted(anc_row[order], np.arange(n + 1))
+            for i in range(n):
+                sl = order[bounds[i] : bounds[i + 1]]
+                if len(sl):
+                    ancs_out[i] = np.unique(asp_all[sl]).tolist()
+        return pd.DataFrame(
+            {"cells": cells_out, "ancs": ancs_out, "min_cell_ord": mins}
+        )
+
+    return cover_udf
+
+
+def refine_udf():
+    """UDF: exact point-in-region test for join survivors.
+
+    Args: point lat/lng + the query's region columns. Vectorized by kind.
+    """
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(
+        plat: pd.Series, plng: pd.Series,
+        kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
+        lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
+        verts: pd.Series, cell_id: pd.Series,
+    ) -> pd.Series:
+        from . import geo
+
+        n = len(plat)
+        out = np.zeros(n, dtype=bool)
+        kinds = kind.to_numpy()
+        py = plat.to_numpy(dtype=np.float64)
+        px = plng.to_numpy(dtype=np.float64)
+
+        sel = np.nonzero(kinds == "cap")[0]
+        if len(sel):
+            out[sel] = geo.haversine_m(
+                py[sel], px[sel], lat.to_numpy()[sel], lng.to_numpy()[sel]
+            ) <= radius_m.to_numpy()[sel]
+        sel = np.nonzero(kinds == "rect")[0]
+        if len(sel):
+            out[sel] = (
+                (py[sel] >= lat_lo.to_numpy()[sel])
+                & (py[sel] <= lat_hi.to_numpy()[sel])
+                & (px[sel] >= lng_lo.to_numpy()[sel])
+                & (px[sel] <= lng_hi.to_numpy()[sel])
+            )
+        sel = np.nonzero(kinds == "point")[0]
+        if len(sel):
+            q = cm.latlng_to_cell(lat.to_numpy()[sel], lng.to_numpy()[sel])
+            p = cm.latlng_to_cell(py[sel], px[sel])
+            out[sel] = q == p
+        sel = np.nonzero(kinds == "polygon")[0]
+        if len(sel):
+            # group identical polygons to vectorize over their points
+            vkey = verts.iloc[sel].apply(str)
+            for _, grp in pd.Series(sel).groupby(vkey.to_numpy()):
+                idx = grp.to_numpy()
+                v = np.asarray([list(p) for p in verts.iloc[idx[0]]], dtype=np.float64)
+                out[idx] = geo.points_in_polygon(py[idx], px[idx], v)
+        sel = np.nonzero(kinds == "cell")[0]
+        if len(sel):
+            cells = cm.from_spark(cell_id.to_numpy()[sel].astype(np.int64))
+            leafs = cm.latlng_to_cell(py[sel], px[sel])
+            out[sel] = cm.contains(cells, leafs)
+        return pd.Series(out)
+
+    return refine
+
+
+@F.pandas_udf(T.LongType())
+def leaf_cell_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    ids = cm.latlng_to_cell(lat.to_numpy(dtype=np.float64), lng.to_numpy(dtype=np.float64))
+    return pd.Series(cm.to_spark(ids))
+
+
+def make_tile_udf(level: int):
+    @F.pandas_udf(T.LongType())
+    def tile_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        ids = cm.latlng_to_cell(
+            lat.to_numpy(dtype=np.float64), lng.to_numpy(dtype=np.float64), level
+        )
+        return pd.Series(cm.to_spark(ids))
+
+    return tile_udf
+
+
+def make_parent_udf(level: int):
+    @F.pandas_udf(T.LongType())
+    def parent_udf(cell: pd.Series) -> pd.Series:
+        ids = cm.from_spark(cell.to_numpy().astype(np.int64))
+        lv = np.minimum(cm.level(ids), level)
+        return pd.Series(cm.to_spark(cm.parent(ids, lv)))
+
+    return parent_udf
+
+
+@F.pandas_udf(T.DoubleType())
+def haversine_udf(
+    lat1: pd.Series, lng1: pd.Series, lat2: pd.Series, lng2: pd.Series
+) -> pd.Series:
+    from . import geo
+
+    return pd.Series(
+        geo.haversine_m(
+            lat1.to_numpy(dtype=np.float64), lng1.to_numpy(dtype=np.float64),
+            lat2.to_numpy(dtype=np.float64), lng2.to_numpy(dtype=np.float64),
+        )
+    )

@@ -1,0 +1,170 @@
+"""End-to-end parity suites (SURVEY §5.3 / FIXTURES.md §4).
+
+Recreates the reference's four gtest scenarios + the Go round-trip as Spark
+jobs on synthetic tables and asserts identical key sets, with a brute-force
+geometric oracle for ground truth:
+
+- suite A single_cell  (RoaringGeoMapWriterTest.cpp:11-40)
+- suite B polygon_contains (RoaringGeoMapWriterTest.cpp:42-94)
+- suite C miss         (RoaringGeoMapWriterTest.cpp:96-124)
+- suite E fixed_cell   (go/roaringgeomap_test.go:9-46)
+- suite D us_20k       (RoaringGeoMapWriterTest.cpp:168-246) in test_parity_us.py
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rgm import cellmath as cm
+from rgm import index as ridx
+from rgm import query as rq
+
+SF = (37.7749, -122.4194)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    """Suite A/C fixture: one point key at SF (bucket=1 in the reference;
+    we keep bucket=3 and rely on lattice semantics) plus a polygon key
+    (suite B) and a fixed-cell key (suite E)."""
+    out = str(tmp_path_factory.mktemp("idx") / "small")
+    rows = [
+        # suite A: single point at SF
+        ("single-id", "point", SF[0], SF[1], None, None),
+        # suite B: 1x1 degree square polygon at (0,0)-(1,1), max_cells=10
+        ("polygon-id", "polygon", None, None,
+         [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0]], 10),
+        # suite E: fixed cell id (the go test indexes this exact cell)
+        ("fixed-a", "cell", None, None, None, None),
+        ("fixed-b", "cell", None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, kind string, lat double, lng double, "
+        "verts array<array<double>>, max_cells int"
+    )
+    fixed = int(np.uint64(9260949627242122337).view(np.int64))
+    df = df.withColumn(
+        "cell_id",
+        F.when(F.col("key").startswith("fixed"), F.lit(fixed)).otherwise(F.lit(None)),
+    )
+    ridx.build_index(spark, df, "key", out, bucket=3, max_cells=10, n_buckets=4)
+    return out
+
+
+def _q(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_suite_a_single_cell(spark, small_index):
+    """Query = same SF point -> exactly the single-id key (plus the fixed
+    cell keys, which sit on the same leaf: the go test cell IS the SF leaf)."""
+    q = _q(spark, [("q1", "point", SF[0], SF[1])], "query_id string, kind string, lat double, lng double")
+    got = rq.search(spark, small_index, q, refine=False)
+    keys = {r["key"] for r in got.collect()}
+    # fixed-a/fixed-b are indexed on the SF leaf cell itself
+    assert keys == {"single-id", "fixed-a", "fixed-b"}
+
+
+def test_suite_b_polygon_interior_point(spark, small_index):
+    """Query = leaf cell of (0.5, 0.5) -> polygon-id via ancestor-match."""
+    q = _q(spark, [("q1", "point", 0.5, 0.5)], "query_id string, kind string, lat double, lng double")
+    got = rq.search(spark, small_index, q, refine=False)
+    keys = {r["key"] for r in got.collect()}
+    assert keys == {"polygon-id"}
+
+
+def test_suite_c_miss_south_pole(spark, small_index):
+    q = _q(spark, [("q1", "point", -90.0, 0.0)], "query_id string, kind string, lat double, lng double")
+    got = rq.search(spark, small_index, q, refine=False)
+    assert got.count() == 0
+
+
+def test_suite_e_fixed_cell_roundtrip(spark, small_index):
+    """Query the fixed cell -> both fixed keys (go/roaringgeomap_test.go:34-45)."""
+    fixed = int(np.uint64(9260949627242122337).view(np.int64))
+    q = _q(spark, [("q1", "cell", fixed)], "query_id string, kind string, cell_id long")
+    got = rq.search(spark, small_index, q, refine=False)
+    keys = {r["key"] for r in got.collect()}
+    assert {"fixed-a", "fixed-b"} <= keys
+    assert "polygon-id" not in keys
+
+
+def test_refine_drops_cell_false_positives(spark, small_index):
+    """A cap query near but not containing SF: candidates may appear at
+    cell level; refinement must drop the miss."""
+    q = _q(
+        spark,
+        [("near", "cap", SF[0] + 0.05, SF[1], 1000.0), ("hit", "cap", SF[0], SF[1], 1000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    got = rq.search(spark, small_index, q, refine=True)
+    rows = {(r["query_id"], r["key"]) for r in got.collect()}
+    assert ("hit", "single-id") in rows
+    assert all(qid != "near" for qid, _ in rows)
+
+
+def test_manifest_resume(spark, small_index):
+    """Re-running the build with resume=True must skip all stages."""
+    from rgm.checkpoint import Manifest
+
+    man = Manifest(small_index)
+    before = {s: e["committed_utc"] for s, e in man.doc["stages"].items()}
+    assert set(before) == {"covers", "keys", "pairs", "postings"}
+    # resume build with an EMPTY df: stages committed -> df never touched
+    empty = spark.createDataFrame([], "key string, kind string, lat double, lng double")
+    man2 = ridx.build_index(spark, empty, "key", small_index, resume=True)
+    after = {s: e["committed_utc"] for s, e in man2.doc["stages"].items()}
+    assert before == after
+
+
+def test_key_ids_dense_and_spatially_ordered(spark, small_index):
+    keys = ridx.load_keys(spark, small_index).collect()
+    ids = sorted(r["key_id"] for r in keys)
+    assert ids == list(range(len(keys)))
+
+
+def test_count_keys_matches_search(spark, small_index):
+    q = _q(
+        spark,
+        [("q1", "cap", SF[0], SF[1], 5000.0), ("q2", "point", 0.5, 0.5, None)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    counted = {r["query_id"]: r["n_keys"] for r in rq.count_keys(spark, small_index, q).collect()}
+    searched = (
+        rq.search(spark, small_index, q, refine=False)
+        .groupBy("query_id").agg(F.countDistinct("key_id").alias("n")).collect()
+    )
+    searched = {r["query_id"]: r["n"] for r in searched}
+    assert counted == searched
+
+
+def test_tile_assignment_points(spark, small_index):
+    pts = spark.createDataFrame(
+        [("a", 37.7749, -122.4194), ("b", 37.7750, -122.4195), ("c", 0.5, 0.5)],
+        "key string, lat double, lng double",
+    )
+    tiled = rq.assign_tiles(pts, level=9)
+    rows = {r["key"]: r["tile_id"] for r in tiled.collect()}
+    want = cm.to_spark(
+        cm.latlng_to_cell(np.array([37.7749, 37.7750, 0.5]), np.array([-122.4194, -122.4195, 0.5]), 9)
+    )
+    assert rows["a"] == want[0] and rows["b"] == want[1] and rows["c"] == want[2]
+    assert rows["a"] == rows["b"] != rows["c"]
+
+
+def test_tiles_for_regions_matches_point_tiles(spark, small_index):
+    """Suite G: every point's tile must appear in its covering region's tile set."""
+    q = spark.createDataFrame(
+        [("r1", "cap", SF[0], SF[1], 3000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    tiles = {r["tile_id"] for r in rq.tiles_for_regions(q, level=13).collect()}
+    # sample points inside the cap -> their level-13 tiles must be covered
+    rng = np.random.default_rng(5)
+    lat = SF[0] + rng.uniform(-0.02, 0.02, 200)
+    lng = SF[1] + rng.uniform(-0.025, 0.025, 200)
+    from rgm import geo
+
+    m = geo.haversine_m(lat, lng, SF[0], SF[1]) <= 3000.0
+    want = cm.to_spark(cm.latlng_to_cell(lat[m], lng[m], 13))
+    assert set(want.tolist()) <= tiles

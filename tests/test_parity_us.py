@@ -1,0 +1,145 @@
+"""Suite D parity: the reference's WriteS2RegionCover scenario
+(/root/reference/cpp/test/RoaringGeoMapWriterTest.cpp:168-246) at full size.
+
+Index: SF/LA/LV triangle polygon (max_cells=100) + 20,000 seeded-random US
+points, bucket=3. Queries: 500 seeded-random level-3 US cells. The reference
+asserts every query returns > 0 keys; we additionally assert the exact key
+set equals a brute-force numpy oracle (cell-level semantics, refine=False).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rgm import cellmath as cm
+from rgm import covering as cov
+from rgm import index as ridx
+from rgm import query as rq
+
+US = dict(lat_lo=24.396308, lat_hi=49.384358, lng_lo=-125.0, lng_hi=-66.93457)
+TRIANGLE = [[37.7749, -122.4194], [34.0522, -118.2437], [36.1699, -115.1398]]
+N_POINTS = 20_000
+N_QUERIES = 500
+BUCKET = 3
+
+
+@pytest.fixture(scope="module")
+def us_fixture(spark, tmp_path_factory):
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(US["lat_lo"], US["lat_hi"], N_POINTS)
+    lng = rng.uniform(US["lng_lo"], US["lng_hi"], N_POINTS)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "key": [str(i) for i in range(N_POINTS)],
+            "kind": "point",
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    tri = spark.createDataFrame(
+        [("shapefile-id", "polygon", [[float(a), float(b)] for a, b in TRIANGLE], 100)],
+        "key string, kind string, verts array<array<double>>, max_cells int",
+    )
+    out = str(tmp_path_factory.mktemp("idx") / "us20k")
+    ridx.build_index(
+        spark, df.unionByName(tri, allowMissingColumns=True), "key", out,
+        bucket=BUCKET, max_cells=100, n_buckets=8,
+    )
+
+    qlat = rng.uniform(US["lat_lo"], US["lat_hi"], N_QUERIES)
+    qlng = rng.uniform(US["lng_lo"], US["lng_hi"], N_QUERIES)
+    qcells = cm.parent(cm.latlng_to_cell(qlat, qlng), np.full(N_QUERIES, 3))
+    return out, lat, lng, qcells
+
+
+def test_suite_d_us20k_parity(spark, us_fixture):
+    out, lat, lng, qcells = us_fixture
+    qdf = spark.createDataFrame(
+        [(f"q{i}", "cell", int(cm.to_spark(qcells[i : i + 1])[0])) for i in range(N_QUERIES)],
+        "query_id string, kind string, cell_id long",
+    )
+    got = rq.search(spark, out, qdf, bucket=BUCKET, refine=False)
+    got_sets: dict[str, set] = {}
+    for r in got.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["key"])
+
+    # oracle: point keys whose level-3 parent equals the query cell
+    leafs = cm.latlng_to_cell(lat, lng)
+    p3 = cm.parent(leafs, np.full(N_POINTS, 3))
+    # triangle: matches any query cell that one of its cover cells descends from
+    tri_cover = cov.cover_polygon(np.asarray(TRIANGLE), max_cells=100)
+    tri_cover = cm.denormalize(tri_cover, BUCKET)
+    tri_p3 = np.unique(cm.parent(tri_cover, np.full(len(tri_cover), 3)))
+
+    n_nonempty = 0
+    for i in range(N_QUERIES):
+        q = qcells[i]
+        want = {str(k) for k in np.nonzero(p3 == q)[0]}
+        if q in tri_p3:
+            want.add("shapefile-id")
+        assert got_sets.get(f"q{i}", set()) == want, f"mismatch at q{i}"
+        if want:
+            n_nonempty += 1
+    # the reference asserts >0 for every query; statistically some level-3
+    # cells on the US rim are empty of our 20k points — require the bulk
+    assert n_nonempty >= N_QUERIES * 0.95
+
+
+def test_suite_d_refined_cap_queries_match_geometric_oracle(spark, us_fixture):
+    """Refined cap queries (the engine's flagship mode) vs exact haversine."""
+    out, lat, lng, _ = us_fixture
+    rng = np.random.default_rng(7)
+    n_q = 50
+    qlat = rng.uniform(30.0, 45.0, n_q)
+    qlng = rng.uniform(-120.0, -80.0, n_q)
+    qr = rng.uniform(5_000, 150_000, n_q)
+    qdf = spark.createDataFrame(
+        [
+            (f"q{i}", "cap", float(qlat[i]), float(qlng[i]), float(qr[i]))
+            for i in range(n_q)
+        ],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    got = rq.search(spark, out, qdf, bucket=BUCKET, refine=True)
+    got_sets: dict[str, set] = {}
+    for r in got.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["key"])
+
+    from rgm import geo
+
+    for i in range(n_q):
+        d = geo.haversine_m(lat, lng, qlat[i], qlng[i])
+        want = {str(k) for k in np.nonzero(d <= qr[i])[0]}
+        got_i = {k for k in got_sets.get(f"q{i}", set()) if k != "shapefile-id"}
+        assert got_i == want, (
+            f"q{i}: missing={list(want - got_i)[:5]} extra={list(got_i - want)[:5]}"
+        )
+
+
+def test_knn_matches_oracle(spark, us_fixture):
+    out, lat, lng, _ = us_fixture
+    rng = np.random.default_rng(13)
+    n_q, k = 10, 5
+    qlat = rng.uniform(30.0, 45.0, n_q)
+    qlng = rng.uniform(-120.0, -80.0, n_q)
+    qdf = spark.createDataFrame(
+        [(f"q{i}", float(qlat[i]), float(qlng[i])) for i in range(n_q)],
+        "query_id string, lat double, lng double",
+    )
+    got = rq.knn(spark, out, qdf, k=k, r0_m=5_000)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r["query_id"], []).append((r["rank"], r["key"], r["dist_m"]))
+
+    from rgm import geo
+
+    for i in range(n_q):
+        d = geo.haversine_m(lat, lng, qlat[i], qlng[i])
+        order = np.lexsort((np.arange(N_POINTS), d))[:k]
+        want = [str(j) for j in order]
+        got_keys = [kk for _, kk, _ in sorted(rows.get(f"q{i}", []))]
+        # exclude the triangle key (it has no point geometry -> never in knn)
+        assert got_keys == want, f"q{i}: got={got_keys} want={want}"
