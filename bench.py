@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput_rows_per_sec": ...}
+
+Workload shape mirrors the reference benchmark harness
+(/root/reference/cpp/benchmarks/main.cpp): ~2,000 cap (1 km circle)
+queries with max_cells=30 coverings against an indexed image-point corpus,
+plus the fixed-level tile-assignment pass and the training-data operators.
+
+Scaling evidence (north_rule): run via tools/scaling.py at two parallelism
+levels on identical input; efficiency = (T_N / T_4N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from rgm import benchqueries as bq
+    from rgm import index as ridx
+    from rgm import query as rq
+    from rgm.session import get_spark
+
+    spark = get_spark(app_name="rgm-bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+        return n
+
+    # -- index build (fresh, not cached) -------------------------------------
+    idx_path = os.path.join("/tmp", "rgm_bench_idx_" + sf_dir.strip("/").replace("/", "_") + f"_c{cpus}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    pts = bq.points_df(spark, sf_dir).select(
+        F.col("image_id").alias("key"), F.lit("point").alias("kind"), "lat", "lng"
+    )
+    n_points = pts.count()
+
+    def build():
+        ridx.build_index(spark, pts, "key", idx_path, bucket=3, n_buckets=max(cpus, 8), resume=False)
+        return n_points
+
+    timed("index_build", build)
+    bq._INDEX_CACHE[sf_dir] = idx_path
+
+    # -- reference-shaped query batch: 2000 x 1 km caps ---------------------
+    n_caps = 2000
+    caps = spark.range(n_caps).select(
+        F.concat(F.lit("c"), F.col("id")).alias("query_id"),
+        F.lit("cap").alias("kind"),
+        (F.lit(24.396308) + (F.col("id") * 104729 % 100000) / 100000.0 * (49.384358 - 24.396308)).alias("lat"),
+        (F.lit(-125.0) + (F.col("id") * 99991 % 100000) / 100000.0 * (-66.93457 - -125.0)).alias("lng"),
+        F.lit(1000.0).alias("radius_m"),
+        F.lit(30).alias("max_cells"),
+    )
+    timed("contains_2000_caps", lambda: _count(rq.search(spark, idx_path, caps, refine=True)))
+    timed("count_2000_caps", lambda: _count(rq.count_keys(spark, idx_path, caps)))
+
+    # -- driver-contract spatial queries -------------------------------------
+    timed("contains_cap8", lambda: _count(bq.q_spatial_contains_cap(spark, sf_dir)))
+    timed("contains_polygon", lambda: _count(bq.q_spatial_contains_polygon(spark, sf_dir)))
+    timed("knn", lambda: _count(bq.q_spatial_knn(spark, sf_dir)))
+
+    # -- tile assignment (the raster<->vector pass) ---------------------------
+    timed("tile_assign_s2", lambda: _count(bq.q_tile_assign_s2(spark, sf_dir)))
+    timed("tile_counts_s2", lambda: _count(bq.q_tile_counts_s2(spark, sf_dir)))
+
+    # -- training-data operators ---------------------------------------------
+    timed("dedup_minhash_lsh", lambda: _count(bq.q_dedup_minhash_lsh(spark, sf_dir)))
+    timed("dedup_simhash", lambda: _count(bq.q_dedup_simhash(spark, sf_dir)))
+    timed("ann_cosine_topk", lambda: _count(bq.q_ann_cosine_topk(spark, sf_dir)))
+    timed("text_stats", lambda: _count(bq.q_text_stats(spark, sf_dir)))
+    timed("text_tokens_bpe", lambda: _count(bq.q_text_tokens_bpe(spark, sf_dir)))
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    # throughput: rows ingested into the index + tile assignments + query
+    # batch results, per wall second (the BASELINE.json headline metric)
+    work_rows = n_points + rows.get("tile_assign_s2", 0) + rows.get("contains_2000_caps", 0)
+    out = {
+        "metric": "spatial_join_tile_pipeline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "rows": rows,
+        "n_points": n_points,
+        "throughput_rows_per_sec": round(work_rows / total, 1) if total else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,496 @@
+"""The driver-contract query set: every entry exists twice — as a Spark
+job through the engine (``QUERIES``) and, where ANSI-SQL can express the
+same semantics, as a DuckDB oracle (``ORACLES``).
+
+Geometry is derived deterministically from the TPC-H-ish testdata with
+pure integer/double arithmetic (identical in Spark and DuckDB), never from
+external data: each order becomes an image point in the contiguous-US box
+the reference benchmarks use (/root/reference/cpp/benchmarks/main.cpp:22-25).
+
+Engine spatial queries go through the full index pipeline (covering UDF ->
+lattice equi-join -> exact refinement); oracles are plain geometric SQL.
+They agree exactly because refinement applies the same predicates
+(SURVEY §5.3/§5.7).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dedup as rdd
+from . import index as ridx
+from . import query as rq
+from . import similarity as rsim
+from . import text as rtext
+
+US = "24.396308"  # lat_lo; shared literal strings keep double math identical
+_LAT_EXPR = "24.396308 + ((o_orderkey * 9973) % 100000) / 100000.0 * (49.384358 - 24.396308)"
+_LNG_EXPR = "-125.0 + ((o_orderkey * 7919) % 100000) / 100000.0 * (-66.93457 - -125.0)"
+
+# fixed query regions (literals shared with the SQL oracles)
+CAPS = [(f"q{i}", 28.0 + i * 2.5, -120.0 + i * 6.0, 30000.0 + i * 20000.0) for i in range(8)]
+RECTS = [
+    (f"r{i}", 26.0 + i * 2.3, 26.0 + i * 2.3 + 3.1, -122.0 + i * 6.1, -122.0 + i * 6.1 + 4.7)
+    for i in range(6)
+]
+KNN_POINTS = [("k0", 37.7749, -122.4194), ("k1", 40.7128, -74.006),
+              ("k2", 34.0522, -118.2437), ("k3", 41.8781, -87.6298)]
+KNN_K = 10
+TILE_LEVEL = 9
+JACCARD_N = 4
+JACCARD_T = 0.8
+ANN_K = 10
+ANN_QUERIES = 4
+
+_HAVERSINE_SQL = (
+    "2 * 6371010.0 * asin(sqrt("
+    "pow(sin(radians(p.lat - q.qlat) / 2), 2) + "
+    "cos(radians(q.qlat)) * cos(radians(p.lat)) * "
+    "pow(sin(radians(p.lng - q.qlng) / 2), 2)))"
+)
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.expr(_LAT_EXPR).alias("lat"),
+        F.expr(_LNG_EXPR).alias("lng"),
+    )
+
+
+_PTS_SQL = (
+    "SELECT CAST(o_orderkey AS VARCHAR) AS image_id, "
+    f"{_LAT_EXPR} AS lat, {_LNG_EXPR} AS lng FROM orders"
+)
+
+
+def _caps_values_sql() -> str:
+    rows = ", ".join(f"('{q}', {a!r}, {b!r}, {r!r})" for q, a, b, r in CAPS)
+    return f"(VALUES {rows}) AS q(query_id, qlat, qlng, radius)"
+
+
+def _rects_values_sql() -> str:
+    rows = ", ".join(
+        f"('{q}', {a!r}, {b!r}, {c!r}, {d!r})" for q, a, b, c, d in RECTS
+    )
+    return f"(VALUES {rows}) AS q(query_id, lat_lo, lat_hi, lng_lo, lng_hi)"
+
+
+def _knn_values_sql() -> str:
+    rows = ", ".join(f"('{q}', {a!r}, {b!r})" for q, a, b in KNN_POINTS)
+    return f"(VALUES {rows}) AS q(query_id, qlat, qlng)"
+
+
+# ---------------------------------------------------------------------------
+# index cache: one build per (sf_dir) per process
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _INDEX_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), "rgm_idx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        pts = points_df(spark, sf_dir).select(
+            F.col("image_id").alias("key"),
+            F.lit("point").alias("kind"),
+            "lat", "lng",
+        )
+        ridx.build_index(spark, pts, "key", out, bucket=3, n_buckets=16, resume=True)
+        _INDEX_CACHE[sf_dir] = out
+    return _INDEX_CACHE[sf_dir]
+
+
+def _caps_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, "cap", lat, lng, r) for q, lat, lng, r in CAPS],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+
+
+def _rects_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, "rect", a, b, c, d) for q, a, b, c, d in RECTS],
+        "query_id string, kind string, lat_lo double, lat_hi double, "
+        "lng_lo double, lng_hi double",
+    )
+
+
+def _polys_df(spark: SparkSession) -> DataFrame:
+    # rectangles expressed as generic 4-vertex polygons: exercises the
+    # polygon covering + ray-casting path while staying SQL-checkable
+    rows = [
+        (q, "polygon", [[a, c], [a, d], [b, d], [b, c]])
+        for q, a, b, c, d in RECTS
+    ]
+    return spark.createDataFrame(
+        rows, "query_id string, kind string, verts array<array<double>>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark) — each fn(spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q_spatial_contains_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = index_path(spark, sf_dir)
+    out = rq.search(spark, idx, _caps_df(spark), refine=True)
+    return out.select("query_id", F.col("key").alias("image_id"))
+
+
+def q_spatial_contains_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = index_path(spark, sf_dir)
+    out = rq.search(spark, idx, _rects_df(spark), refine=True)
+    return out.select("query_id", F.col("key").alias("image_id"))
+
+
+def q_spatial_contains_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = index_path(spark, sf_dir)
+    out = rq.search(spark, idx, _polys_df(spark), refine=True)
+    return out.select("query_id", F.col("key").alias("image_id"))
+
+
+def q_spatial_count_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = q_spatial_contains_cap(spark, sf_dir)
+    return out.groupBy("query_id").agg(F.count("*").alias("n_keys"))
+
+
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = index_path(spark, sf_dir)
+    qdf = spark.createDataFrame(KNN_POINTS, "query_id string, lat double, lng double")
+    out = rq.knn(spark, idx, qdf, k=KNN_K, r0_m=20_000)
+    # oracle-stable tiebreak: re-rank by (distance, image_id)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("key").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", F.col("key").alias("image_id"), "rank")
+    )
+
+
+def q_tile_assign_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    return pts.select(
+        "image_id",
+        (
+            F.floor((F.col("lat") - 24.0) / 0.5) * 200
+            + F.floor((F.col("lng") + 125.0) / 0.5)
+        ).cast("long").alias("tile_id"),
+    )
+
+
+def q_tile_assign_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_df(spark, sf_dir)
+    return rq.assign_tiles(pts, TILE_LEVEL).select("image_id", "tile_id")
+
+
+def q_tile_counts_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = q_tile_assign_s2(spark, sf_dir)
+    return tiles.groupBy("tile_id").agg(F.count("*").alias("n_images"))
+
+
+def q_tiles_for_regions_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rq.tiles_for_regions(_caps_df(spark), level=TILE_LEVEL)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rdd.ngram_jaccard_pairs(docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rdd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T, verify=True
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rdd.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return rdd.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = rsim.brute_topk(emb, queries, ANN_K)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return rsim.ivf_topk(emb, queries, ANN_K, n_cells=16, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rtext.text_stats(docs, "doc_id", "text")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rtext.quality_score(docs, "doc_id", "text")
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rtext.token_count_bpe(docs, "doc_id", "text")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rtext.lang_id(docs, "doc_id", "text")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rtext.fingerprint(docs, "doc_id", "text")
+
+
+def q_rel_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+def q_rel_order_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_milli"),
+    )
+
+
+QUERIES = {
+    "spatial_contains_cap": q_spatial_contains_cap,
+    "spatial_contains_rect": q_spatial_contains_rect,
+    "spatial_contains_polygon": q_spatial_contains_polygon,
+    "spatial_count_cap": q_spatial_count_cap,
+    "spatial_knn": q_spatial_knn,
+    "tile_assign_grid": q_tile_assign_grid,
+    "tile_assign_s2": q_tile_assign_s2,
+    "tile_counts_s2": q_tile_counts_s2,
+    "tiles_for_regions_s2": q_tiles_for_regions_s2,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_tokens_bpe": q_text_tokens_bpe,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "rel_lineitem_agg": q_rel_lineitem_agg,
+    "rel_order_segments": q_rel_order_segments,
+    "events_window": q_events_window,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the registered parquet views)
+# ---------------------------------------------------------------------------
+
+_GRAMS_SQL = f"""
+grams AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, g.i, {JACCARD_N}) AS gram
+  FROM documents d, generate_series(1, 4096) g(i)
+  WHERE g.i <= greatest(length(d.text) - {JACCARD_N - 1}, 1)
+    AND length(substring(d.text, g.i, {JACCARD_N})) = {JACCARD_N}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_GRAMS_SQL}
+SELECT id_a, id_b, n_inter / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_T}
+"""
+
+ORACLES = {
+    "spatial_contains_cap": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT q.query_id, p.image_id
+        FROM pts p, {_caps_values_sql()}
+        WHERE {_HAVERSINE_SQL} <= q.radius
+    """,
+    "spatial_contains_rect": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT q.query_id, p.image_id
+        FROM pts p, {_rects_values_sql()}
+        WHERE p.lat >= q.lat_lo AND p.lat <= q.lat_hi
+          AND p.lng >= q.lng_lo AND p.lng <= q.lng_hi
+    """,
+    "spatial_contains_polygon": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT q.query_id, p.image_id
+        FROM pts p, {_rects_values_sql()}
+        WHERE p.lat >= q.lat_lo AND p.lat <= q.lat_hi
+          AND p.lng >= q.lng_lo AND p.lng <= q.lng_hi
+    """,
+    "spatial_count_cap": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT q.query_id, count(*) AS n_keys
+        FROM pts p, {_caps_values_sql()}
+        WHERE {_HAVERSINE_SQL} <= q.radius
+        GROUP BY q.query_id
+    """,
+    "spatial_knn": f"""
+        WITH pts AS ({_PTS_SQL}), ranked AS (
+          SELECT q.query_id, p.image_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_HAVERSINE_SQL} ASC, p.image_id ASC
+                 ) AS rank
+          FROM pts p, {_knn_values_sql()}
+        )
+        SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_K}
+    """,
+    "tile_assign_grid": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT image_id,
+               CAST(floor((lat - 24.0) / 0.5) * 200
+                    + floor((lng + 125.0) / 0.5) AS BIGINT) AS tile_id
+        FROM pts
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "ann_cosine_topk": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+        ranked AS (
+          SELECT q.query_id, v.vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(v.e, q.qe)
+                            / (sqrt(list_dot_product(v.e, v.e))
+                               * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+                            v.vec_id ASC
+                 ) AS rank
+          FROM v, q
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {ANN_K}
+    """,
+    "text_stats": r"""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+          CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+            THEN (length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g'))))
+                 * 1.0 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END)
+            ELSE 0.0 END AS DOUBLE) AS mean_tok_len
+        FROM documents
+    """,
+    "text_tokens_bpe": r"""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "rel_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_order_segments": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "events_window": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+               SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_milli
+        FROM events
+    """,
+}

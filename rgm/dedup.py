@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side DataFrame expressions (explode / groupBy /
+join) — no per-row Python. The LSH variants are the 100 TB scale path
+(candidate generation is a bucket equi-join, never an all-pairs join); the
+exact variants double as oracles at test scale.
+
+Operators:
+- exact_dedup            hash-groupBy exact duplicate collapse
+- ngram_jaccard_pairs    exact character-n-gram Jaccard similarity join
+- minhash_lsh_pairs      MinHash signatures + banded LSH candidate join
+- simhash_pairs          64-bit SimHash + banded Hamming candidate join
+- embedding_neardup_pairs  cosine near-duplicate pairs via random
+                         hyperplane LSH buckets + exact verify
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the minimum id per exact text value. Map-side-combinable
+    hash aggregate; scales as a single shuffle on the text hash."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
+
+
+def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct character n-grams per document: (id, gram). Pure JVM:
+    sequence + explode + substring."""
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+                    lambda i: F.col(text_col).substr(i, F.lit(n)),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |grams_a ∩ grams_b| / |grams_a ∪ grams_b| >= threshold.
+
+    Scale note: the gram equi-join is the standard inverted-index set-join;
+    at web scale, prefix filtering / stop-gram dropping bounds fanout (the
+    ``max_gram_docs`` knob drops grams appearing in too many docs — sound
+    for high thresholds when combined with length filtering upstream).
+    """
+    grams = char_ngrams(df, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# 31-bit Mersenne prime: (a*h + b) with a,b,h < 2^31 stays within int64
+# (Spark 4 runs ANSI mode; 61-bit moduli would overflow the multiply)
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _MERSENNE)), int(rng.integers(0, _MERSENNE)))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, num_perm: int = 64
+) -> DataFrame:
+    """One row per doc with ``num_perm`` min-hash columns mh_0..mh_{p-1}.
+
+    Signature i = min over grams of (a_i * h(gram) + b_i) mod 2^61-1, where
+    h is Spark's xxhash64 — a single groupBy with num_perm min() aggregates,
+    fully JVM-side and map-side combinable."""
+    grams = char_ngrams(df, id_col, text_col, n)
+    h = F.pmod(F.xxhash64("gram"), F.lit(_MERSENNE))
+    params = _minhash_params(num_perm)
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return grams.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Bands of num_perm/bands rows each are hashed to buckets; docs sharing a
+    bucket become candidates (equi-join on (band, bucket) — never all-pairs).
+    With verify=True, candidates are confirmed against exact n-gram Jaccard.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)]).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Per bit: sign of sum over tokens of (+1 if token-hash bit set else -1).
+    Returns (id, simhash long)."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft wraps at bit 63 (sign bit) — exactly the two's-complement
+        # encoding we want for a 64-bit hash in a signed long
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 8-bit chunks; any pair
+    within distance d < chunks shares at least one exact chunk -> candidate
+    equi-join on (chunk_idx, chunk_value), then exact popcount filter."""
+    sh = simhash(df, id_col, text_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for c in range(chunks)
+    ]
+    ch = sh.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
+        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = ch.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv")
+    b = ch.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv")
+    cand = (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via banded random-hyperplane LSH + exact
+    cosine verify.
+
+    ``n_tables`` independent hash tables of ``bits_per_table`` sign bits
+    each: a pair at angle θ collides in one table with (1-θ/π)^bits, in any
+    with 1-(1-p)^tables — tune bits/tables to the threshold. Candidates are
+    the per-(table, bucket) equi-join; verification is exact cosine via
+    zip_with/aggregate — all built-in expressions, no all-pairs join.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits_per_table, dim))
+
+    def dot_with_const(vec, const: np.ndarray):
+        arr = F.array(*[F.lit(float(x)) for x in const])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    table_cols = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for i in range(bits_per_table):
+            sig = sig + F.when(
+                dot_with_const(F.col(vec_col), planes[t, i]) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        table_cols.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    with_sig = df.select(
+        id_col, vec_col, F.explode(F.array(*table_cols)).alias("tb")
+    ).select(
+        id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.sig").alias("sig")
+    )
+    a = with_sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "tbl", "sig"
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "tbl", "sig"
+    )
+    cand = (
+        a.join(b, on=["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+    )
+
+    def dot(u, v):
+        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = dot(F.col("v_a"), F.col("v_b")) / (
+        F.sqrt(dot(F.col("v_a"), F.col("v_a"))) * F.sqrt(dot(F.col("v_b"), F.col("v_b")))
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf and diff against its oracle_sql() in DuckDB
+(row count + sorted-by-name columns + order-insensitive value multiset).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from rgm.session import get_spark
+
+    spark = get_spark(app_name="selfcheck", cpus=8, shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name:28s} spark error: {ex}")
+            fails.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name:28s} rows={len(got):7d} ({dt:5.1f}s) [rows-only, no oracle]")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name:28s} duckdb error: {ex}")
+            fails.append(name)
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL  {name:28s} columns {list(g.columns)} != {list(w.columns)}")
+            fails.append(name)
+            continue
+        if len(g) != len(w):
+            print(f"FAIL  {name:28s} rows {len(g)} != {len(w)}")
+            fails.append(name)
+            continue
+        eq = True
+        for c in g.columns:
+            a, b = g[c].to_numpy(), w[c].to_numpy()
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+
+                if not np.allclose(
+                    a.astype(float), b.astype(float), rtol=1e-12, atol=1e-12, equal_nan=True
+                ):
+                    eq = False
+                    break
+            elif not (a == b).all():
+                eq = False
+                break
+        if eq:
+            print(f"PASS  {name:28s} rows={len(g):7d} ({dt:5.1f}s)")
+        else:
+            print(f"FAIL  {name:28s} value mismatch in column {c}")
+            bad = (g[c].to_numpy() != w[c].to_numpy())
+            print(g[bad].head(3))
+            print(w[bad].head(3))
+            fails.append(name)
+    spark.stop()
+    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
