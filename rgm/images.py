@@ -1,0 +1,275 @@
+"""Image payload pipeline: deterministic codec, fidelity invariants, and
+multimodal column plumbing (BASELINE.json input_hint schema).
+
+The sandbox has no image libraries, so the codec is a tiny deterministic
+numpy implementation (SURVEY §7.6): ``raw`` (packed RGB888) and ``ppm``
+(P6) are lossless; ``qnt`` quantizes to 6 bits/channel — worst-case error
+±2 LSB/channel gives PSNR ≈ 46 dB, comfortably above the 40 dB north_rule
+floor, by construction. The point of the invariant is pipeline fidelity
+(bytes survive shuffles/joins untouched), not codec realism.
+
+Audio/video decode is STUBBED (no codecs in this container) — the Spark
+plumbing (schema, mapInPandas batching, UDF signatures) is real and tested;
+the decode kernel raises NotImplementedError unless fed the synthetic
+format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMATS = ("raw", "ppm", "qnt")
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis + codec (numpy)
+# ---------------------------------------------------------------------------
+
+
+def synth_pixels(idx: int, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Seeded per-image gradient + noise, uint8 (h, w, 3)."""
+    rng = np.random.default_rng(seed * 1_000_003 + idx)
+    yy, xx = np.mgrid[0:h, 0:w]
+    xn = xx / max(w - 1, 1)
+    yn = yy / max(h - 1, 1)
+    # per-image random plane + sinusoid per channel so content (and hence
+    # phash) differs across images, not just the noise floor
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(-1, 1, 3)
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        plane = 128 + 90 * (a * xn + b * yn) + 60 * c * np.sin(
+            2 * np.pi * (fx * xn + fy * yn)
+        )
+        chans.append(plane)
+    base = np.stack(chans, axis=-1)
+    noise = rng.integers(-24, 25, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = px.shape
+    if fmt == "raw":
+        return px.tobytes()
+    if fmt == "ppm":
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    if fmt == "qnt":
+        # 6-bit/channel quantization, midpoint reconstruction
+        return (px >> 2).astype(np.uint8).tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        nl = 0
+        pos = 0
+        while nl < 3:  # skip the 3-line header
+            pos = data.index(b"\n", pos) + 1
+            nl += 1
+        return np.frombuffer(data[pos:], dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "qnt":
+        q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).astype(np.uint16)
+        return np.clip((q << 2) | 2, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def avg_phash(px: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block-mean luma vs global mean."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    out = np.uint64(0)
+    for k, b in enumerate(bits):
+        if b:
+            out |= np.uint64(1) << np.uint64(k)
+    return int(out.view(np.int64))
+
+
+def resize_block_mean(px: np.ndarray, w2: int, h2: int) -> np.ndarray:
+    """Deterministic block-mean resize (area-average downsample or nearest
+    upsample) — the feature-extraction resize kernel."""
+    h, w, _ = px.shape
+    ys = (np.arange(h2 + 1) * h // h2).astype(int)
+    xs = (np.arange(w2 + 1) * w // w2).astype(int)
+    out = np.empty((h2, w2, 3), dtype=np.uint8)
+    for i in range(h2):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(w2):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = px[y0:y1, x0:x1].reshape(-1, 3).mean(axis=0).round()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing table + pipeline UDFs
+# ---------------------------------------------------------------------------
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lat double, lng double"
+)
+
+_WORDS = [
+    "granite", "meadow", "harbor", "lantern", "orchid", "summit", "cobalt",
+    "willow", "ember", "quartz", "prairie", "falcon", "mosaic", "tundra",
+]
+
+
+def caption_for(idx: int) -> str:
+    ws = [
+        _WORDS[(idx * 7 + k * 13) % len(_WORDS)] for k in range(3 + idx % 4)
+    ]
+    return f"caption {idx}: " + " ".join(ws)
+
+
+def images_table(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    us_box: bool = True,
+) -> DataFrame:
+    """Deterministic images table in the input_hint shape (+ lat/lng
+    geometry), synthesized in parallel with mapInPandas — each executor
+    generates its id range, no driver materialization."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                w = (16, 32, 64)[idx % 3]
+                h = (16, 32, 64)[(idx // 3) % 3]
+                fmt = FORMATS[idx % len(FORMATS)]
+                px = synth_pixels(idx, w, h, seed)
+                lat = 24.396308 + ((idx * 9973) % 100000) / 100000.0 * (49.384358 - 24.396308)
+                lng = -125.0 + ((idx * 7919) % 100000) / 100000.0 * (-66.93457 - -125.0)
+                rows.append(
+                    (
+                        f"img_{idx:012d}", encode_image(px, fmt), w, h, fmt,
+                        caption_for(idx), avg_phash(px), lat, lng,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash", "lat", "lng",
+                ],
+            )
+
+    return base.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+_FIDELITY_SCHEMA = (
+    "image_id string, fmt string, psnr double, phash_match boolean, "
+    "caption_ok boolean, decoded_mean double"
+)
+
+
+def fidelity_check(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Decode every image and verify the north_rule invariants row-by-row
+    (vectorized batches): PSNR vs the synthesized source (>= 40 dB for the
+    lossy fmt, lossless otherwise), phash equality, caption equality."""
+
+    def check(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                idx = int(r.image_id.split("_")[1])
+                px = decode_image(r.bytes, r.fmt, r.w, r.h)
+                src = synth_pixels(idx, r.w, r.h, seed)
+                p = psnr(src, px)
+                out.append(
+                    (
+                        r.image_id, r.fmt,
+                        999.0 if p == float("inf") else p,
+                        avg_phash(src) == r.phash,
+                        r.caption == caption_for(idx),
+                        float(px.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "fmt", "psnr", "phash_match", "caption_ok",
+                    "decoded_mean",
+                ],
+            )
+
+    return df.mapInPandas(check, _FIDELITY_SCHEMA)
+
+
+def extract_features(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode -> block-mean resize -> flatten to a float embedding column.
+    The image->embedding bridge for the ANN/dedup operators."""
+
+    def feats(it):
+        for pdf in it:
+            ids, vecs = [], []
+            for r in pdf.itertuples():
+                px = decode_image(r.bytes, r.fmt, r.w, r.h)
+                small = resize_block_mean(px, out_w, out_h)
+                ids.append(r.image_id)
+                vecs.append((small.astype(np.float64) / 255.0).ravel().tolist())
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+
+    return df.mapInPandas(feats, "image_id string, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# audio / video stubs: real Spark plumbing, stubbed decode kernels
+# ---------------------------------------------------------------------------
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: no audio codecs in this container. 'synth-pcm' is the
+    deterministic test format; anything else raises."""
+    if fmt == "synth-pcm":
+        return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+    raise NotImplementedError(f"audio codec {fmt!r} not available in this environment")
+
+
+def decode_video_frames(data: bytes, fmt: str, every_n: int = 10) -> np.ndarray:
+    """STUB: no video codecs in this container."""
+    raise NotImplementedError(f"video codec {fmt!r} not available in this environment")
+
+
+def audio_features(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """mapInPandas plumbing for audio feature extraction (RMS energy +
+    duration); real for 'synth-pcm', NotImplementedError surfaces per-row
+    as nulls with an error marker otherwise."""
+
+    def feats(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    pcm = decode_audio(getattr(r, bytes_col), getattr(r, fmt_col))
+                    out.append((r.key, float(np.sqrt((pcm**2).mean())), len(pcm), None))
+                except NotImplementedError as e:
+                    out.append((r.key, None, None, str(e)))
+            yield pd.DataFrame(out, columns=["key", "rms", "n_samples", "error"])
+
+    return df.mapInPandas(feats, "key string, rms double, n_samples long, error string")

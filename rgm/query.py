@@ -43,6 +43,54 @@ def _cover_queries(queries: DataFrame, bucket: int, max_cells: int) -> DataFrame
     return q.withColumn("qcov", cover_udf(*[F.col(c) for c in REGION_COLS]))
 
 
+# query batches up to this size are planned driver-side: the covering runs
+# as one small job, the exploded cell list becomes a local DataFrame and the
+# level-3 prune prefixes are computed with numpy — a broadcast join needs
+# the query side in driver memory anyway
+SMALL_QUERY_ROWS = 100_000
+
+
+def plan_query_cells(
+    spark: SparkSession,
+    queries: DataFrame,
+    bucket: int,
+    max_cells: int,
+    collect_small: bool = True,
+) -> tuple[DataFrame, list[int] | None]:
+    """-> (q_cells(query_id, cell_id, is_anc, q_l3), prune prefixes or None)."""
+    covered = _cover_queries(queries, bucket, max_cells)
+    if collect_small:
+        rows = covered.select("query_id", "qcov.cells", "qcov.ancs").limit(
+            SMALL_QUERY_ROWS + 1
+        ).collect()
+        if len(rows) <= SMALL_QUERY_ROWS:
+            qid, cid, anc = [], [], []
+            for r in rows:
+                for c in r["cells"]:
+                    qid.append(r["query_id"]); cid.append(c); anc.append(False)
+                for c in r["ancs"]:
+                    qid.append(r["query_id"]); cid.append(c); anc.append(True)
+            cells_u = cm.from_spark(np.asarray(cid, dtype=np.int64)) if cid else np.empty(0, np.uint64)
+            l3 = cm.to_spark(cm.parent(cells_u, np.full(len(cells_u), 3))) if len(cells_u) else np.empty(0, np.int64)
+            pdf = pd.DataFrame(
+                {"query_id": qid, "cell_id": np.asarray(cid, dtype=np.int64) if cid else [],
+                 "is_anc": anc, "q_l3": l3}
+            )
+            q_cells = spark.createDataFrame(
+                pdf,
+                schema="query_id string, cell_id long, is_anc boolean, q_l3 long",
+            )
+            return q_cells, sorted(set(int(x) for x in l3))
+    q_origin = covered.select(
+        "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
+    )
+    q_anc = covered.select(
+        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
+    )
+    q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
+    return q_cells, None
+
+
 def candidate_keys(
     spark: SparkSession,
     index_path: str,
@@ -53,21 +101,14 @@ def candidate_keys(
 ) -> DataFrame:
     """Cell-level candidate (query_id, key_id) pairs — the reference's
     bitmap-union result set (A17) before geometric refinement."""
-    covered = _cover_queries(queries, bucket, max_cells)
-
-    q_origin = covered.select(
-        "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
-    )
-    q_anc = covered.select(
-        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
-    )
-    q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
+    q_cells, prefixes = plan_query_cells(spark, queries, bucket, max_cells)
 
     pairs = load_pairs(spark, index_path)
     if prune:
-        # zone-map pruning: the query covering's level-3 prefixes are known
-        # driver-side and tiny; IN-filter reaches Parquet row-group stats.
-        prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
+        if prefixes is None:
+            prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
+        # zone-map pruning: the query covering's level-3 prefixes are tiny;
+        # the IN-filter reaches Parquet row-group stats (SuRF analog)
         pairs = pairs.filter(F.col("cell_l3").isin(prefixes))
 
     joined = pairs.join(
@@ -125,36 +166,25 @@ def count_keys(
     prune: bool = True,
 ) -> DataFrame:
     """Distinct candidate-key count per query via roaring posting lists —
-    the bitmap fastunion path (A16/A17), never touching per-key rows."""
-    covered = _cover_queries(queries, bucket, max_cells)
-    q_origin = covered.select(
-        "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
-    )
-    q_anc = covered.select(
-        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
-    )
-    q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
+    the bitmap fastunion path (A16/A17), never touching per-key rows.
+
+    The postings table holds origin cells only, so the two match directions
+    are: query origin cell -> postings in its descendant Hilbert range
+    (range join, bounded by the pruned scan), and query ancestor cell ->
+    exact postings (equi-join)."""
+    q_cells, prefixes = plan_query_cells(spark, queries, bucket, max_cells)
 
     postings = load_postings(spark, index_path)
     if prune:
-        prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
+        if prefixes is None:
+            prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
         postings = postings.filter(F.col("cell_l3").isin(prefixes))
 
-    # ancestor-side matches need origin postings only; origin-side matches
-    # any posting row. postings table holds origin cells only, and the
-    # index's ancestor rows have no postings — so q_origin must match
-    # descendant postings via the pairs path. For counting we instead union
-    # per-cell bitmaps over BOTH match directions using the pairs-equivalent
-    # join on postings of origin cells:
-    #   q origin cell matches posting cells in its descendant range
-    #   q ancestor cell matches posting cells exactly
-    # Descendant-range matching uses a range join bounded by the pruned scan.
-    q_ranges = covered.select(
-        "query_id", F.explode("qcov.cells").alias("qcell")
-    )
     rng_udf = _range_bounds_udf()
-    q_ranges = q_ranges.withColumn("rb", rng_udf("qcell")).select(
-        "query_id", F.col("rb.lo").alias("lo"), F.col("rb.hi").alias("hi")
+    q_ranges = (
+        q_cells.filter(~F.col("is_anc"))
+        .withColumn("rb", rng_udf("cell_id"))
+        .select("query_id", F.col("rb.lo").alias("lo"), F.col("rb.hi").alias("hi"))
     )
     desc = postings.join(
         F.broadcast(q_ranges),
@@ -162,7 +192,9 @@ def count_keys(
         "inner",
     ).select("query_id", "bitmap")
     anc_match = postings.join(
-        F.broadcast(q_anc.select("query_id", "cell_id")), on="cell_id", how="inner"
+        F.broadcast(q_cells.filter(F.col("is_anc")).select("query_id", "cell_id")),
+        on="cell_id",
+        how="inner",
     ).select("query_id", "bitmap")
 
     def union_count(pdf: pd.DataFrame) -> pd.DataFrame:
