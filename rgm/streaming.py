@@ -1,0 +1,129 @@
+"""Structured Streaming extensions: incremental index maintenance and
+windowed tile aggregation.
+
+The reference index is batch-immutable (SURVEY §7.8); these operators are
+the Spark-native extension for continuously-arriving image rows:
+
+- ``stream_index_append``: readStream of new image rows -> covering UDF ->
+  pairs rows appended to the index's ``pairs`` directory per micro-batch
+  (foreachBatch), with key_id blocks allocated monotonically from the
+  manifest so ids never collide with the batch build. Streaming keys skip
+  the global min-cell clustering (impossible incrementally) — queries are
+  unaffected (the equi-join never relies on key_id order), only bitmap
+  compactness degrades slightly for streamed rows.
+
+- ``stream_tile_counts``: event stream with lat/lng + event-time ->
+  watermarked sliding-window counts per S2 tile (the streaming half of the
+  raster<->vector rollup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import Manifest
+from .index import LEVEL_EXPR, PARENT3_EXPR, _ensure_region_cols
+from .udfs import REGION_COLS, make_cover_udf, make_tile_udf
+
+
+def stream_index_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    key_col: str,
+    index_path: str,
+    checkpoint_dir: str,
+    bucket: int = 3,
+    max_cells: int = 30,
+):
+    """Attach a foreachBatch writer that appends covering pairs of incoming
+    rows to the index. Returns the StreamingQuery (caller awaits it)."""
+    man = Manifest(index_path)
+    pairs_dir = man.stage_dir("pairs")
+    keys_dir = man.stage_dir("keys")
+    state_path = os.path.join(index_path, "_stream_state.json")
+
+    cover_udf = make_cover_udf(bucket)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # allocate a contiguous key_id block after everything existing
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                next_id = json.load(f)["next_key_id"]
+        else:
+            next_id = (
+                spark.read.parquet(keys_dir).agg(F.max("key_id")).collect()[0][0] or 0
+            ) + 1
+        src = _ensure_region_cols(batch_df)
+        src = src.withColumn(
+            "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
+        )
+        covered = src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col(key_col))
+        keyed = covered.withColumn(
+            "key_id", (F.row_number().over(w) + F.lit(next_id - 1)).cast("int")
+        )
+        n = keyed.count()
+        origin = keyed.select(
+            F.explode("cov.cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
+        )
+        anc = keyed.select(
+            F.explode("cov.ancs").alias("cell_id"), F.lit(False).alias("is_origin"), "key_id"
+        )
+        pairs = (
+            origin.unionByName(anc)
+            .withColumn("level", F.expr(LEVEL_EXPR))
+            .withColumn("cell_l3", F.expr(PARENT3_EXPR))
+            .sortWithinPartitions("cell_id")
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        keyed.select(
+            "key_id",
+            F.col(key_col).alias("key"),
+            F.col("lat").alias("p_lat"),
+            F.col("lng").alias("p_lng"),
+            F.col("cov.min_cell_ord").alias("min_cell_ord"),
+            F.col("cov.cells").alias("cells"),
+            F.col("cov.ancs").alias("ancs"),
+        ).write.mode("append").parquet(keys_dir)
+        with open(state_path, "w") as f:
+            json.dump({"next_key_id": next_id + n, "last_batch_id": batch_id}, f)
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_tile_counts(
+    events: DataFrame,
+    level: int = 9,
+    window_duration: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked windowed counts per S2 tile over a lat/lng event stream.
+    Late rows beyond the watermark are dropped (standard late-data policy)."""
+    tiled = events.withColumn("tile_id", make_tile_udf(level)(F.col("lat"), F.col("lng")))
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "tile_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tile_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Structured Streaming tests: incremental index append keeps queries
+correct; windowed tile counts respect watermark semantics."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rgm import index as ridx
+from rgm import query as rq
+from rgm import streaming as rstream
+
+
+def test_stream_index_append_then_query(spark, tmp_path):
+    # batch-build an index with 20 points
+    base = spark.createDataFrame(
+        [(f"b{i}", "point", 30.0 + i * 0.1, -100.0 + i * 0.1) for i in range(20)],
+        "key string, kind string, lat double, lng double",
+    )
+    out = str(tmp_path / "idx")
+    ridx.build_index(spark, base, "key", out, bucket=3, n_buckets=2)
+
+    # stream 10 more rows in via a file stream (availableNow trigger)
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    newrows = spark.createDataFrame(
+        [(f"s{i}", "point", 40.0 + i * 0.01, -90.0) for i in range(10)],
+        "key string, kind string, lat double, lng double",
+    )
+    newrows.write.parquet(src_dir, mode="overwrite")
+    stream = spark.readStream.schema(newrows.schema).parquet(src_dir)
+    q = rstream.stream_index_append(
+        spark, stream, "key", out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    # streamed keys must be queryable exactly like batch keys
+    qdf = spark.createDataFrame(
+        [("qa", "cap", 40.05, -90.0, 20_000.0), ("qb", "cap", 30.5, -99.5, 200_000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    got = rq.search(spark, out, qdf, refine=True)
+    rows = {(r["query_id"], r["key"]) for r in got.collect()}
+    from rgm import geo
+
+    for i in range(10):
+        should = geo.haversine_m(40.0 + i * 0.01, -90.0, 40.05, -90.0) <= 20_000.0
+        assert (("qa", f"s{i}") in rows) == should
+    # key_ids unique across batch + stream
+    keys = ridx.load_keys(spark, out).select("key_id").collect()
+    ids = [r["key_id"] for r in keys]
+    assert len(ids) == 30 and len(set(ids)) == 30
+
+
+def test_stream_tile_counts_watermark(spark, tmp_path):
+    import pandas as pd
+
+    src_dir = str(tmp_path / "events")
+    os.makedirs(src_dir)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:01", "2026-01-01 00:02", "2026-01-01 00:14", "2026-01-01 01:00"]
+            ),
+            "lat": [37.7749, 37.7749, 37.7749, 0.5],
+            "lng": [-122.4194, -122.4194, -122.4194, 0.5],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src_dir, mode="overwrite")
+    stream = spark.readStream.schema("ts timestamp, lat double, lng double").parquet(src_dir)
+    out = rstream.stream_tile_counts(stream, level=9, window_duration="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tile_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tile_counts").collect()
+    agg = {}
+    for r in rows:
+        agg[(str(r["window_start"]), r["tile_id"])] = r["n_events"]
+    sf_tile = None
+    from rgm import cellmath as cm
+
+    sf_tile = int(
+        cm.to_spark(cm.latlng_to_cell(np.array([37.7749]), np.array([-122.4194]), 9))[0]
+    )
+    assert agg[("2026-01-01 00:00:00", sf_tile)] == 2
+    assert agg[("2026-01-01 00:10:00", sf_tile)] == 1
+    # the 01:00 window is still open at watermark = max_ts - 20min = 00:40,
+    # so append mode must withhold it — that's the late-data contract
+    assert all(t == sf_tile for (_, t) in agg)
