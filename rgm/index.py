@@ -183,28 +183,45 @@ def build_index(
 
         def encode_partition(it):
             # hash repartition on cell_id co-locates each cell in exactly one
-            # partition; encode every cell of the partition in one vectorized
-            # pass (one Python call per Arrow batch stream, not per cell —
-            # the per-group applyInPandas variant was ~50x slower)
+            # partition; encode every (cell, is_origin) group of the partition
+            # in one vectorized pass (one Python call per Arrow batch stream,
+            # not per cell — the per-group applyInPandas variant was ~50x
+            # slower)
             chunks = list(it)
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             cells = pdf["cell_id"].to_numpy()
+            orig = pdf["is_origin"].to_numpy()
             keys = pdf["key_id"].to_numpy().astype(np.uint32)
-            order = np.argsort(cells, kind="stable")
-            cells, keys = cells[order], keys[order]
-            ucells, starts = np.unique(cells, return_index=True)
+            order = np.lexsort((keys, orig, cells))
+            cells, orig, keys = cells[order], orig[order], keys[order]
+            grp = np.stack([cells, orig.astype(np.int64)], axis=1)
+            change = np.any(grp[1:] != grp[:-1], axis=1)
+            starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
             ends = np.append(starts[1:], len(cells))
             blobs = [bm.encode(keys[s:e]) for s, e in zip(starts, ends)]
             cards = [bm.cardinality(b) for b in blobs]  # post-dedup count
-            yield pd.DataFrame({"cell_id": ucells, "card": cards, "bitmap": blobs})
+            yield pd.DataFrame(
+                {
+                    "cell_id": cells[starts],
+                    "is_origin": orig[starts],
+                    "card": cards,
+                    "bitmap": blobs,
+                }
+            )
 
+        # postings for origin cells AND lattice-ancestor rollups: ancestor
+        # bitmaps are the hierarchical union of their descendants' keys, so
+        # counting/search over postings is the same equi-join as the pairs
+        # path (a broadcast nested-loop range join here was the sf0.1
+        # bottleneck)
         postings = (
-            pairs.filter("is_origin")
-            .select("cell_id", "key_id")
+            pairs.select("cell_id", "is_origin", "key_id")
             .repartition(n_buckets, "cell_id")
-            .mapInPandas(encode_partition, "cell_id long, card int, bitmap binary")
+            .mapInPandas(
+                encode_partition, "cell_id long, is_origin boolean, card int, bitmap binary"
+            )
             .withColumn("level", F.expr(LEVEL_EXPR))
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
             .repartitionByRange(max(n_buckets // 2, 1), "cell_id")

@@ -168,10 +168,10 @@ def count_keys(
     """Distinct candidate-key count per query via roaring posting lists —
     the bitmap fastunion path (A16/A17), never touching per-key rows.
 
-    The postings table holds origin cells only, so the two match directions
-    are: query origin cell -> postings in its descendant Hilbert range
-    (range join, bounded by the pruned scan), and query ancestor cell ->
-    exact postings (equi-join)."""
+    Postings exist for origin cells AND their lattice-ancestor rollups, so
+    this is the exact same broadcast equi-join shape as ``search``: the
+    query's origin cells match any posting row; the query's ancestor cells
+    match origin postings only."""
     q_cells, prefixes = plan_query_cells(spark, queries, bucket, max_cells)
 
     postings = load_postings(spark, index_path)
@@ -180,31 +180,27 @@ def count_keys(
             prefixes = [r["q_l3"] for r in q_cells.select("q_l3").distinct().collect()]
         postings = postings.filter(F.col("cell_l3").isin(prefixes))
 
-    rng_udf = _range_bounds_udf()
-    q_ranges = (
-        q_cells.filter(~F.col("is_anc"))
-        .withColumn("rb", rng_udf("cell_id"))
-        .select("query_id", F.col("rb.lo").alias("lo"), F.col("rb.hi").alias("hi"))
+    matched = postings.join(F.broadcast(q_cells), on="cell_id", how="inner").filter(
+        F.col("is_origin") | ~F.col("is_anc")
     )
-    desc = postings.join(
-        F.broadcast(q_ranges),
-        (F.col("cell_id") >= F.col("lo")) & (F.col("cell_id") <= F.col("hi")),
-        "inner",
-    ).select("query_id", "bitmap")
-    anc_match = postings.join(
-        F.broadcast(q_cells.filter(F.col("is_anc")).select("query_id", "cell_id")),
-        on="cell_id",
-        how="inner",
-    ).select("query_id", "bitmap")
 
-    def union_count(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = bm.union_values(list(pdf["bitmap"]))
-        return pd.DataFrame({"query_id": [pdf["query_id"].iloc[0]], "n_keys": [len(vals)]})
+    def union_count(it):
+        # partition-local partial union, then a final union per query —
+        # grouped by hash repartition so each query lands in one partition
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        out_q, out_n = [], []
+        for qid, grp in pdf.groupby("query_id"):
+            out_q.append(qid)
+            out_n.append(len(bm.union_values(list(grp["bitmap"]))))
+        yield pd.DataFrame({"query_id": out_q, "n_keys": out_n})
 
     return (
-        desc.unionByName(anc_match)
-        .groupBy("query_id")
-        .applyInPandas(union_count, "query_id string, n_keys long")
+        matched.select("query_id", "bitmap")
+        .repartition("query_id")
+        .mapInPandas(union_count, "query_id string, n_keys long")
     )
 
 
