@@ -56,6 +56,18 @@ def main() -> None:
     pts = bq.points_df(spark, sf_dir).select(
         F.col("image_id").alias("key"), F.lit("point").alias("kind"), "lat", "lng"
     )
+    # optional deterministic synthetic scale-up (identical at every
+    # parallelism level — used by tools/scaling.py so the efficiency
+    # measurement is dominated by parallel work, not fixed job overhead)
+    extra = int(os.environ.get("SPARK_GRAFT_EXTRA_POINTS", "0"))
+    if extra > 0:
+        synth = spark.range(extra).select(
+            F.concat(F.lit("x"), F.col("id")).alias("key"),
+            F.lit("point").alias("kind"),
+            (F.lit(24.396308) + (F.col("id") * 6151 % 1000000) / 1000000.0 * (49.384358 - 24.396308)).alias("lat"),
+            (F.lit(-125.0) + (F.col("id") * 4231 % 1000000) / 1000000.0 * (-66.93457 - -125.0)).alias("lng"),
+        )
+        pts = pts.unionByName(synth)
     n_points = pts.count()
 
     def build():

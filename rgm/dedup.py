@@ -117,18 +117,25 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 4,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.8,
     verify: bool = True,
+    est_margin: float = 0.15,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs.
+    """MinHash + banded LSH near-duplicate pairs, three-stage:
 
-    Bands of num_perm/bands rows each are hashed to buckets; docs sharing a
-    bucket become candidates (equi-join on (band, bucket) — never all-pairs).
-    With verify=True, candidates are confirmed against exact n-gram Jaccard.
+    1. candidates: equi-join on (band, bucket) — bands tuned so the S-curve
+       sits at the threshold (8 bands x 8 rows: j=0.4 pairs collide ~0.5%,
+       j=0.9 pairs ~99%). Never an all-pairs join.
+    2. estimate filter: fraction of matching minhash components per
+       candidate pair (pure column math over the broadcast signatures);
+       keeps only est >= threshold - est_margin.
+    3. (verify=True) exact n-gram Jaccard, computed pair-scoped: the gram
+       join is keyed by (candidate pair, gram) so its size is
+       |survivors| x grams/doc — never corpus-wide.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -147,10 +154,47 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+    # stage 2: signature-similarity estimate (cheap, column math only)
+    mh = [f"mh_{i}" for i in range(num_perm)]
+    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh])
+    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh])
+    est_expr = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh
+    ) / F.lit(float(num_perm))
+    cand = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est_expr)
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("id_a", "id_b", "est_jaccard")
+    )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+
+    # stage 3: exact Jaccard, pair-scoped
+    grams = char_ngrams(df, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    pairs_only = cand.select("id_a", "id_b")
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    # explode survivors by id_a's grams, then equi-join on (id_b, gram):
+    # size = |survivors| x grams/doc, independent of corpus vocabulary skew
+    exploded = F.broadcast(pairs_only).join(ga, "id_a")
+    inter = exploded.join(gb, ["id_b", "gram"]).groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_inter")
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -96,6 +96,9 @@ def build_index(
         src = src.withColumn(
             "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
         )
+        # the input may arrive as a handful of files (= partitions); the
+        # covering UDF is the build's hot loop, so force full parallelism
+        src = src.repartition(2 * n_buckets)
         cover_udf = make_cover_udf(bucket, anc_min_level)
         covered = (
             src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))

@@ -296,7 +296,7 @@ def knn(
     remaining = query_points.select("query_id", F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"))
     results = None
     radius = r0_m
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if remaining.isEmpty():
             break
         caps = remaining.select(
@@ -314,11 +314,15 @@ def knn(
         )
         cnt = hits.groupBy("query_id").agg(F.count("*").alias("n"))
         done_ids = cnt.filter(F.col("n") >= k).select("query_id")
-        done = hits.join(F.broadcast(done_ids), on="query_id", how="left_semi")
+        last_round = rnd == max_rounds - 1
+        done = (
+            hits
+            if last_round  # final round: keep partial (<k) results too
+            else hits.join(F.broadcast(done_ids), on="query_id", how="left_semi")
+        )
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(done_ids, on="query_id", how="left_anti")
         radius *= 4.0
-    # leftover queries (fewer than k indexed keys in max radius): keep all hits
     if results is None:
         results = spark.createDataFrame(
             [], "query_id string, key_id int, key string, dist_m double"
