@@ -77,6 +77,32 @@ def main() -> None:
     timed("index_build", build)
     bq._INDEX_CACHE[sf_dir] = idx_path
 
+    # -- reference write-bench shape: 50k indexed 1 km circles --------------
+    # (/root/reference/cpp/benchmarks/main.cpp:145-146 indexes 50,000 circle
+    # covers; bucket=1 indexes raw cover cells with all-level ancestors — no
+    # denormalize fanout for region covers)
+    n_regions = int(os.environ.get("SPARK_GRAFT_BENCH_REGIONS", "50000"))
+    region_idx = idx_path + "_regions"
+    shutil.rmtree(region_idx, ignore_errors=True)
+    region_src = spark.range(n_regions).select(
+        F.concat(F.lit("r"), F.col("id")).alias("key"),
+        F.lit("cap").alias("kind"),
+        (F.lit(24.396308) + (F.col("id") * 6151 % 1000000) / 1000000.0 * (49.384358 - 24.396308)).alias("lat"),
+        (F.lit(-125.0) + (F.col("id") * 4231 % 1000000) / 1000000.0 * (-66.93457 - -125.0)).alias("lng"),
+        F.lit(1000.0).alias("radius_m"),
+        F.lit(30).alias("max_cells"),
+    )
+    timed(
+        "region_index_build_50k",
+        lambda: (
+            ridx.build_index(
+                spark, region_src, "key", region_idx, bucket=1,
+                n_buckets=max(cpus, 8), resume=False,
+            ),
+            n_regions,
+        )[1],
+    )
+
     # -- reference-shaped query batch: 2000 x 1 km caps ---------------------
     n_caps = 2000
     caps = spark.range(n_caps).select(
@@ -89,6 +115,12 @@ def main() -> None:
     )
     timed("contains_2000_caps", lambda: _count(rq.search(spark, idx_path, caps, refine=True)))
     timed("count_2000_caps", lambda: _count(rq.count_keys(spark, idx_path, caps)))
+    # cell-level Contains against the region index (the reference's exact
+    # query semantics: circle covers vs circle covers)
+    timed(
+        "region_contains_2000",
+        lambda: _count(rq.search(spark, region_idx, caps, refine=False)),
+    )
 
     # -- driver-contract spatial queries -------------------------------------
     timed("contains_cap8", lambda: _count(bq.q_spatial_contains_cap(spark, sf_dir)))

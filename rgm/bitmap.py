@@ -53,6 +53,41 @@ def encode(values: np.ndarray) -> bytes:
     return np.uint32(len(keys)).tobytes() + hdr.tobytes() + b"".join(payloads)
 
 
+def encode_sorted_groups(
+    keys_sorted: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[list[bytes], list[int]]:
+    """Encode many posting lists at once from one globally-sorted uint32 key
+    array with per-group [start, end) bounds (keys sorted and UNIQUE within
+    each group).
+
+    Fast path: key_ids are assigned in min-cell order (spatial clustering,
+    reference A2), so a cell's keys usually share their high 16 bits — the
+    blob is then one array container assembled with two buffer copies, no
+    per-group numpy calls. Mixed-high or dense groups fall back to encode().
+    Returns (blobs, cardinalities).
+    """
+    keys_sorted = np.asarray(keys_sorted, dtype=np.uint32)
+    high = (keys_sorted >> np.uint32(16)).astype(np.uint16)
+    low = (keys_sorted & np.uint32(0xFFFF)).astype(np.uint16)
+    one = np.uint32(1).tobytes()
+    blobs: list[bytes] = []
+    cards: list[int] = []
+    for s, e in zip(starts, ends):
+        cnt = int(e - s)
+        if cnt and cnt < _ARRAY_MAX and high[s] == high[e - 1]:
+            hdr = np.zeros(1, dtype=_HDR)
+            hdr["key"] = high[s]
+            hdr["kind"] = _ARRAY
+            hdr["count"] = cnt
+            blobs.append(one + hdr.tobytes() + low[s:e].tobytes())
+            cards.append(cnt)
+        else:
+            b = encode(keys_sorted[s:e])
+            blobs.append(b)
+            cards.append(cardinality(b))
+    return blobs, cards
+
+
 def decode(blob: bytes) -> np.ndarray:
     """Blob -> sorted uint32 value array."""
     n = int(np.frombuffer(blob, dtype="<u4", count=1)[0])

@@ -194,17 +194,27 @@ def build_index(
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
+            if not len(pdf):
+                return
             cells = pdf["cell_id"].to_numpy()
             orig = pdf["is_origin"].to_numpy()
             keys = pdf["key_id"].to_numpy().astype(np.uint32)
             order = np.lexsort((keys, orig, cells))
             cells, orig, keys = cells[order], orig[order], keys[order]
-            grp = np.stack([cells, orig.astype(np.int64)], axis=1)
-            change = np.any(grp[1:] != grp[:-1], axis=1)
-            starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+            # drop duplicate (cell, origin, key) triples so groups hold
+            # sorted-unique keys (what the batch encoder requires)
+            if len(cells) > 1:
+                dup = np.concatenate(
+                    [[False],
+                     (cells[1:] == cells[:-1]) & (orig[1:] == orig[:-1]) & (keys[1:] == keys[:-1])]
+                )
+                if dup.any():
+                    keep = ~dup
+                    cells, orig, keys = cells[keep], orig[keep], keys[keep]
+            grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
+            starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
             ends = np.append(starts[1:], len(cells))
-            blobs = [bm.encode(keys[s:e]) for s, e in zip(starts, ends)]
-            cards = [bm.cardinality(b) for b in blobs]  # post-dedup count
+            blobs, cards = bm.encode_sorted_groups(keys, starts, ends)
             yield pd.DataFrame(
                 {
                     "cell_id": cells[starts],

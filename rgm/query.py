@@ -91,17 +91,29 @@ def plan_query_cells(
     return q_cells, None
 
 
+def index_bucket(index_path: str, bucket: int | None) -> int:
+    """The lattice bucket is an index property — read it from the manifest
+    so queries always quantize the same way the build did."""
+    if bucket is not None:
+        return bucket
+    from .checkpoint import Manifest
+
+    return int(Manifest(index_path).doc["params"].get("bucket", 3))
+
+
 def candidate_keys(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
-    bucket: int = 3,
+    bucket: int | None = None,
     max_cells: int = 30,
     prune: bool = True,
 ) -> DataFrame:
     """Cell-level candidate (query_id, key_id) pairs — the reference's
     bitmap-union result set (A17) before geometric refinement."""
-    q_cells, prefixes = plan_query_cells(spark, queries, bucket, max_cells)
+    q_cells, prefixes = plan_query_cells(
+        spark, queries, index_bucket(index_path, bucket), max_cells
+    )
 
     pairs = load_pairs(spark, index_path)
     if prune:
@@ -121,7 +133,7 @@ def search(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
-    bucket: int = 3,
+    bucket: int | None = None,
     max_cells: int = 30,
     refine: bool = True,
     prune: bool = True,
@@ -161,7 +173,7 @@ def count_keys(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
-    bucket: int = 3,
+    bucket: int | None = None,
     max_cells: int = 30,
     prune: bool = True,
 ) -> DataFrame:
@@ -172,7 +184,9 @@ def count_keys(
     this is the exact same broadcast equi-join shape as ``search``: the
     query's origin cells match any posting row; the query's ancestor cells
     match origin postings only."""
-    q_cells, prefixes = plan_query_cells(spark, queries, bucket, max_cells)
+    q_cells, prefixes = plan_query_cells(
+        spark, queries, index_bucket(index_path, bucket), max_cells
+    )
 
     postings = load_postings(spark, index_path)
     if prune:
@@ -280,7 +294,7 @@ def knn(
     k: int,
     r0_m: float = 2000.0,
     max_rounds: int = 8,
-    bucket: int = 3,
+    bucket: int | None = None,
 ) -> DataFrame:
     """k nearest indexed keys per query point (SURVEY Table C3).
 

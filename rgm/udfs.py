@@ -168,32 +168,46 @@ def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
         anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
 
         n = len(covers)
-        cells_out: list[list[int]] = [[] for _ in range(n)]
-        ancs_out: list[list[int]] = [[] for _ in range(n)]
         mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         if len(dn_cells):
-            sp = cm.to_spark(dn_cells)
-            ords = ord_shift(dn_cells)
             order = np.argsort(dn_row, kind="stable")
-            bounds = np.searchsorted(dn_row[order], np.arange(n + 1))
-            for i in range(n):
-                sl = order[bounds[i] : bounds[i + 1]]
-                cells_out[i] = sp[sl].tolist()
-                if len(sl):
-                    mins[i] = ords[sl].min()
+            sp_sorted = cm.to_spark(dn_cells)[order]
+            rows_sorted = dn_row[order]
+            cells_out = _rows_to_lists(sp_sorted, rows_sorted, n)
+            ords = ord_shift(dn_cells)[order]
+            bounds = np.searchsorted(rows_sorted, np.arange(n + 1))
+            nonempty = bounds[:-1] < bounds[1:]
+            if nonempty.any():
+                mins[nonempty] = np.minimum.reduceat(ords, bounds[:-1][nonempty])
+        else:
+            cells_out = [[] for _ in range(n)]
         if len(anc_cells):
-            asp_all = cm.to_spark(anc_cells)
-            order = np.argsort(anc_row, kind="stable")
-            bounds = np.searchsorted(anc_row[order], np.arange(n + 1))
-            for i in range(n):
-                sl = order[bounds[i] : bounds[i + 1]]
-                if len(sl):
-                    ancs_out[i] = np.unique(asp_all[sl]).tolist()
+            asp = cm.to_spark(anc_cells)
+            o = np.lexsort((asp, anc_row))
+            r, a = anc_row[o], asp[o]
+            # global per-row dedup in one pass (no per-row np.unique)
+            keep = np.concatenate([[True], (r[1:] != r[:-1]) | (a[1:] != a[:-1])])
+            ancs_out = _rows_to_lists(a[keep], r[keep], n)
+        else:
+            ancs_out = [[] for _ in range(n)]
         return pd.DataFrame(
             {"cells": cells_out, "ancs": ancs_out, "min_cell_ord": mins}
         )
 
     return cover_udf
+
+
+def _rows_to_lists(values_sorted: np.ndarray, rows_sorted: np.ndarray, n: int) -> list:
+    """Split a row-sorted value array into n per-row Python lists.
+
+    Uniform fan-out (the mass case: point rows have exactly 1 cover cell and
+    a fixed ancestor count) goes through one C-speed reshape().tolist();
+    ragged fan-outs fall back to per-row slicing."""
+    bounds = np.searchsorted(rows_sorted, np.arange(n + 1))
+    counts = np.diff(bounds)
+    if n and len(values_sorted) and (counts == counts[0]).all() and counts[0] > 0:
+        return values_sorted.reshape(n, int(counts[0])).tolist()
+    return [values_sorted[bounds[i] : bounds[i + 1]].tolist() for i in range(n)]
 
 
 def refine_udf():
