@@ -464,6 +464,30 @@ ORACLES = {
             ELSE 0.0 END AS DOUBLE) AS mean_tok_len
         FROM documents
     """,
+    "text_quality": r"""
+        WITH s AS (
+          SELECT doc_id,
+            length(text) AS n_chars,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+            length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+            length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_spaces
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, n_chars, n_tokens,
+            n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+            CASE WHEN n_tokens > 0
+                 THEN (n_chars - n_spaces) * 1.0 / n_tokens
+                 ELSE 0.0 END AS mean_tok_len
+          FROM s
+        )
+        SELECT doc_id,
+          ((CASE WHEN n_chars >= 20 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM feats
+    """,
     "text_tokens_bpe": r"""
         SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

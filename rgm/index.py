@@ -106,6 +106,11 @@ def build_index(
                 F.col(key_col).alias("key"),
                 F.col("lat").alias("p_lat"),
                 F.col("lng").alias("p_lng"),
+                # payload radius: kept so cap-keyed indexes can refine
+                # region-vs-region intersects/contains exactly
+                F.when(F.col("kind") == "cap", F.col("radius_m"))
+                .otherwise(F.lit(None).cast("double"))
+                .alias("p_radius_m"),
                 F.col("cov.cells").alias("cells"),
                 F.col("cov.ancs").alias("ancs"),
                 F.col("cov.min_cell_ord").alias("min_cell_ord"),
@@ -150,7 +155,7 @@ def build_index(
             bucketed.repartition(max(len(bounds) + 1, 1), "rbucket")
             .withColumn("rn", F.row_number().over(w) - 1)
             .withColumn("key_id", (F.col("rn") + off_map[F.col("rbucket")]).cast("int"))
-            .select("key_id", "key", "p_lat", "p_lng", "min_cell_ord", "cells", "ancs")
+            .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells", "ancs")
         )
         tmp = man.tmp_dir("keys")
         keys.write.mode("overwrite").parquet(tmp)
@@ -249,9 +254,11 @@ def build_index(
 
 
 def load_keys(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(Manifest(index_path).stage_dir("keys")).select(
-        "key_id", "key", "p_lat", "p_lng"
-    )
+    keys = spark.read.parquet(Manifest(index_path).stage_dir("keys"))
+    cols = ["key_id", "key", "p_lat", "p_lng"]
+    if "p_radius_m" in keys.columns:
+        cols.append("p_radius_m")
+    return keys.select(*cols)
 
 
 def load_pairs(spark: SparkSession, index_path: str) -> DataFrame:

@@ -137,14 +137,21 @@ def search(
     max_cells: int = 30,
     refine: bool = True,
     prune: bool = True,
+    refine_mode: str = "point",
 ) -> DataFrame:
-    """Intersects/Contains query (point payloads): keys whose indexed point
-    lies in each query region.
+    """Intersects/Contains query: keys whose indexed geometry matches each
+    query region.
 
-    With refine=False this is the reference's exact `Contains` output — the
-    cell-level candidate key set (RoaringGeoMapReader.cpp:39-91 returns every
-    key whose cover cell-intersects the query cover; SURVEY Table C1 note).
-    With refine=True candidates are filtered by the exact geometry predicate.
+    refine=False is the reference's exact `Contains` output — the cell-level
+    candidate key set (RoaringGeoMapReader.cpp:39-91 returns every key whose
+    cover cell-intersects the query cover; SURVEY Table C1 note).
+
+    refine_mode:
+      'point'      payload is a point: exact point-in-region (default)
+      'intersects' payload is a cap (p_radius_m; null => point): payload
+                   region overlaps the query region — the real `Intersects`
+                   the reference stubs (A21)
+      'contains'   query region fully contains the payload region
     Returns (query_id, key_id, key, p_lat, p_lng).
     """
     cand = candidate_keys(spark, index_path, queries, bucket, max_cells, prune)
@@ -155,18 +162,26 @@ def search(
     qcols = _ensure_region_cols(queries).select(
         "query_id", *[c for c in REGION_COLS if c != "max_cells"]
     )
-    refined = (
-        out.join(F.broadcast(qcols), on="query_id", how="inner")
-        .filter(
-            refine_udf()(
-                F.col("p_lat"), F.col("p_lng"),
-                F.col("kind"), F.col("lat"), F.col("lng"), F.col("radius_m"),
-                F.col("lat_lo"), F.col("lat_hi"), F.col("lng_lo"), F.col("lng_hi"),
-                F.col("verts"), F.col("cell_id"),
-            )
+    joined = out.join(F.broadcast(qcols), on="query_id", how="inner")
+    if refine_mode == "point":
+        pred = refine_udf()(
+            F.col("query_id"), F.col("p_lat"), F.col("p_lng"),
+            F.col("kind"), F.col("lat"), F.col("lng"), F.col("radius_m"),
+            F.col("lat_lo"), F.col("lat_hi"), F.col("lng_lo"), F.col("lng_hi"),
+            F.col("verts"), F.col("cell_id"),
         )
-    )
-    return refined.select("query_id", "key_id", "key", "p_lat", "p_lng")
+    else:
+        from .udfs import region_refine_udf
+
+        if "p_radius_m" not in joined.columns:
+            joined = joined.withColumn("p_radius_m", F.lit(None).cast("double"))
+        pred = region_refine_udf(refine_mode)(
+            F.col("p_lat"), F.col("p_lng"), F.col("p_radius_m"),
+            F.col("kind"), F.col("lat"), F.col("lng"), F.col("radius_m"),
+            F.col("lat_lo"), F.col("lat_hi"), F.col("lng_lo"), F.col("lng_hi"),
+            F.col("verts"), F.col("cell_id"),
+        )
+    return joined.filter(pred).select("query_id", "key_id", "key", "p_lat", "p_lng")
 
 
 def count_keys(

@@ -218,7 +218,7 @@ def refine_udf():
 
     @F.pandas_udf(T.BooleanType())
     def refine(
-        plat: pd.Series, plng: pd.Series,
+        qid: pd.Series, plat: pd.Series, plng: pd.Series,
         kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
         lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
         verts: pd.Series, cell_id: pd.Series,
@@ -251,9 +251,9 @@ def refine_udf():
             out[sel] = q == p
         sel = np.nonzero(kinds == "polygon")[0]
         if len(sel):
-            # group identical polygons to vectorize over their points
-            vkey = verts.iloc[sel].apply(str)
-            for _, grp in pd.Series(sel).groupby(vkey.to_numpy()):
+            # one region per query_id: group by the (cheap) id, vectorize the
+            # ray cast over each group's points (never stringify verts)
+            for _, grp in pd.Series(sel).groupby(qid.iloc[sel].to_numpy()):
                 idx = grp.to_numpy()
                 v = np.asarray([list(p) for p in verts.iloc[idx[0]]], dtype=np.float64)
                 out[idx] = geo.points_in_polygon(py[idx], px[idx], v)
@@ -262,6 +262,83 @@ def refine_udf():
             cells = cm.from_spark(cell_id.to_numpy()[sel].astype(np.int64))
             leafs = cm.latlng_to_cell(py[sel], px[sel])
             out[sel] = cm.contains(cells, leafs)
+        return pd.Series(out)
+
+    return refine
+
+
+def region_refine_udf(mode: str):
+    """Region-payload refinement: payload = cap(p_lat, p_lng, p_radius_m)
+    (radius null => point). mode='intersects': payload region overlaps the
+    query region; mode='contains': query region fully contains the payload.
+
+    Cap-vs-cap is exact great-circle math. Rect/polygon queries use the
+    planar lat/lng distance from the payload center to the region boundary
+    (meters via local scaling) — exact for points, approximate for wide
+    payload radii near region corners (documented engine semantics).
+    """
+    if mode not in ("intersects", "contains"):
+        raise ValueError(mode)
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(
+        plat: pd.Series, plng: pd.Series, pradius: pd.Series,
+        kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
+        lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
+        verts: pd.Series, cell_id: pd.Series,
+    ) -> pd.Series:
+        from . import geo
+
+        n = len(plat)
+        out = np.zeros(n, dtype=bool)
+        kinds = kind.to_numpy()
+        py = plat.to_numpy(dtype=np.float64)
+        px = plng.to_numpy(dtype=np.float64)
+        pr = pradius.fillna(0.0).to_numpy(dtype=np.float64)
+
+        sel = np.nonzero(kinds == "cap")[0]
+        if len(sel):
+            d = geo.haversine_m(py[sel], px[sel], lat.to_numpy()[sel], lng.to_numpy()[sel])
+            qr = radius_m.to_numpy()[sel]
+            if mode == "intersects":
+                out[sel] = d <= qr + pr[sel]
+            else:
+                out[sel] = d + pr[sel] <= qr
+
+        # rect / polygon queries: signed planar distance from payload center
+        # to the region (negative = inside), in meters via local scaling
+        for kname in ("rect", "polygon"):
+            sel = np.nonzero(kinds == kname)[0]
+            if not len(sel):
+                continue
+            m_per_deg_lat = 111_194.9
+            for i in sel:
+                if kname == "rect":
+                    vy = np.array([lat_lo.iloc[i], lat_lo.iloc[i], lat_hi.iloc[i], lat_hi.iloc[i]])
+                    vx = np.array([lng_lo.iloc[i], lng_hi.iloc[i], lng_hi.iloc[i], lng_lo.iloc[i]])
+                else:
+                    v = np.asarray([list(p) for p in verts.iloc[i]], dtype=np.float64)
+                    vy, vx = v[:, 0], v[:, 1]
+                inside = bool(
+                    geo.points_in_polygon(
+                        np.array([py[i]]), np.array([px[i]]), np.stack([vy, vx], axis=1)
+                    )[0]
+                )
+                # min planar distance center -> boundary, scaled to meters
+                scale_x = m_per_deg_lat * np.cos(np.radians(py[i]))
+                ey = np.roll(vy, -1) - vy
+                ex = np.roll(vx, -1) - vx
+                wy = (py[i] - vy) * m_per_deg_lat
+                wx = (px[i] - vx) * scale_x
+                eym = ey * m_per_deg_lat
+                exm = ex * scale_x
+                seg2 = eym**2 + exm**2
+                t = np.clip((wy * eym + wx * exm) / np.where(seg2 == 0, 1.0, seg2), 0, 1)
+                dist = np.sqrt((wy - t * eym) ** 2 + (wx - t * exm) ** 2).min()
+                if mode == "intersects":
+                    out[i] = inside or dist <= pr[i]
+                else:
+                    out[i] = inside and dist >= pr[i]
         return pd.Series(out)
 
     return refine

@@ -168,3 +168,44 @@ def test_tiles_for_regions_matches_point_tiles(spark, small_index):
     m = geo.haversine_m(lat, lng, SF[0], SF[1]) <= 3000.0
     want = cm.to_spark(cm.latlng_to_cell(lat[m], lng[m], 13))
     assert set(want.tolist()) <= tiles
+
+
+def test_region_payload_intersects_contains(spark, tmp_path):
+    """Cap-keyed index: refine_mode='intersects'/'contains' vs numpy oracle
+    (the real Intersects the reference stubs at RoaringGeoMapReader.cpp:93-95)."""
+    rng = np.random.default_rng(21)
+    n = 300
+    clat = rng.uniform(32.0, 42.0, n)
+    clng = rng.uniform(-115.0, -95.0, n)
+    cr = rng.uniform(500.0, 40_000.0, n)
+    rows = [
+        (f"c{i}", "cap", float(clat[i]), float(clng[i]), float(cr[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, kind string, lat double, lng double, radius_m double"
+    )
+    out = str(tmp_path / "capidx")
+    from rgm import index as ridx
+
+    ridx.build_index(spark, df, "key", out, bucket=1, n_buckets=4)
+
+    qlat, qlng, qr = 37.0, -105.0, 120_000.0
+    q = spark.createDataFrame(
+        [("q", "cap", qlat, qlng, qr)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    from rgm import geo, query as rq
+
+    d = geo.haversine_m(clat, clng, qlat, qlng)
+    want_inter = {f"c{i}" for i in np.nonzero(d <= qr + cr)[0]}
+    want_cont = {f"c{i}" for i in np.nonzero(d + cr <= qr)[0]}
+
+    got_inter = {
+        r["key"] for r in rq.search(spark, out, q, refine_mode="intersects").collect()
+    }
+    got_cont = {
+        r["key"] for r in rq.search(spark, out, q, refine_mode="contains").collect()
+    }
+    assert got_inter == want_inter
+    assert got_cont == want_cont
+    assert want_cont < want_inter  # sanity: contains is strictly stronger

@@ -26,14 +26,49 @@ def run(sf_dir: str, cpus: int) -> dict:
     return json.loads(line)
 
 
+def raw_kernel_ceiling(n_low: int, n_high: int) -> float:
+    """Hardware scaling ceiling: the covering kernel under plain
+    multiprocessing (no Spark). On SMT/shared VMs even embarrassingly
+    parallel numpy tops out below 1.0 — engine efficiency should be read
+    against this ceiling."""
+    import multiprocessing as mp
+
+    def agg(workers: int) -> float:
+        n_per = 6000
+        t0 = __import__("time").time()
+        with mp.Pool(workers) as p:
+            p.map(_kernel_work, [n_per] * workers)
+        return workers * n_per / (__import__("time").time() - t0)
+
+    return (agg(n_high) / agg(n_low)) / (n_high / n_low)
+
+
+def _kernel_work(n: int) -> None:
+    import numpy as np
+
+    sys.path.insert(0, ROOT)
+    from rgm import covering as cov
+
+    rng = np.random.default_rng(os.getpid())
+    cov.cover_caps_batch(
+        rng.uniform(25, 49, n), rng.uniform(-124, -67, n), np.full(n, 1000.0), 30
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     lo = run(sf_dir, n_low)
     hi = run(sf_dir, n_high)
+    ceiling = raw_kernel_ceiling(n_low, n_high)
     ratio = n_high / n_low
     eff_total = (lo["value"] / hi["value"]) / ratio
+    # heavy-work efficiency: the stages that dominate a real 100 TB run
+    heavy = [q for q in ("index_build", "region_index_build_50k") if q in lo["queries"]]
+    t_lo_h = sum(lo["queries"][q] for q in heavy)
+    t_hi_h = sum(hi["queries"][q] for q in heavy)
+    eff_heavy = (t_lo_h / t_hi_h) / ratio if t_hi_h else float("nan")
     per_q = {}
     for q in lo["queries"]:
         if q in hi["queries"] and hi["queries"][q] > 0:
@@ -56,6 +91,19 @@ def main() -> None:
         )
         f.write(f"| points indexed | {lo['n_points']} | {hi['n_points']} |\n\n")
         f.write(f"**Scaling efficiency (whole pipeline)** = (T{n_low}/T{n_high})/{ratio:g} = **{eff_total:.3f}**\n\n")
+        f.write(
+            f"**Scaling efficiency (index-build work, the 100 TB-dominant stages)** "
+            f"= **{eff_heavy:.3f}** ({'+'.join(heavy)}: {t_lo_h:.1f}s -> {t_hi_h:.1f}s)\n\n"
+        )
+        f.write(
+            f"**Hardware ceiling on this VM** (same covering kernel under plain "
+            f"multiprocessing, no Spark): efficiency **{ceiling:.3f}** at "
+            f"{n_low}->{n_high} workers. vCPUs beyond the physical-core count "
+            "(SMT) and shared memory bandwidth cap even embarrassingly parallel "
+            "numpy below 1.0 — engine numbers should be read against this "
+            "ceiling; on a real multi-executor cluster each executor has its "
+            "own cores, memory bus, and disks.\n\n"
+        )
         f.write("Per-query efficiency (same formula):\n\n")
         f.write("| query | sec @%d | sec @%d | efficiency |\n|---|---|---|---|\n" % (n_low, n_high))
         for q, e in per_q.items():
