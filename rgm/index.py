@@ -76,10 +76,15 @@ def build_index(
     n_salts: int = 16,
     n_buckets: int | None = None,
     resume: bool = True,
+    codec: str = "snappy",
 ) -> Manifest:
     """Build the cell index for ``df`` (key column + region columns).
 
     Point rows: kind='point' with lat/lng. Returns the committed Manifest.
+
+    ``codec``: parquet compression for the index tables. Default snappy
+    (fastest scan/write; the index is re-derivable from the base table) —
+    pass "zstd" when storage footprint dominates at cold-archive scale.
     """
     man = Manifest(out_path)
     man.set_params(
@@ -117,7 +122,7 @@ def build_index(
             )
         )
         tmp = man.tmp_dir("covers")
-        covered.write.mode("overwrite").parquet(tmp)
+        covered.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = spark.read.parquet(tmp).count()
         man.commit_stage("covers", tmp, {"rows": n, "secs": time.time() - t0})
     covers = spark.read.parquet(man.stage_dir("covers"))
@@ -158,7 +163,7 @@ def build_index(
             .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells", "ancs")
         )
         tmp = man.tmp_dir("keys")
-        keys.write.mode("overwrite").parquet(tmp)
+        keys.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = spark.read.parquet(tmp).count()
         man.commit_stage("keys", tmp, {"rows": n, "secs": time.time() - t0})
     keys = spark.read.parquet(man.stage_dir("keys"))
@@ -180,7 +185,7 @@ def build_index(
             .sortWithinPartitions("cell_id", "key_id")
         )
         tmp = man.tmp_dir("pairs")
-        pairs.write.mode("overwrite").parquet(tmp)
+        pairs.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = spark.read.parquet(tmp).count()
         man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
 
@@ -189,12 +194,14 @@ def build_index(
         t0 = time.time()
         pairs = spark.read.parquet(man.stage_dir("pairs"))
 
-        def encode_partition(it):
-            # hash repartition on cell_id co-locates each cell in exactly one
-            # partition; encode every (cell, is_origin) group of the partition
-            # in one vectorized pass (one Python call per Arrow batch stream,
-            # not per cell — the per-group applyInPandas variant was ~50x
-            # slower)
+        def encode_partials(it):
+            # phase 1 — map-side combine on the scan splits, NO shuffle of the
+            # raw pairs: each split encodes one partial bitmap per
+            # (cell, is_origin) it sees. Hot cells (low-level lattice rollups
+            # whose posting lists hold millions of keys at 10^12 rows) span
+            # many file splits, so their work is spread across tasks here —
+            # this is the salting/skew stage (SURVEY C7, §7.4); everything is
+            # vectorized (one lexsort + one grouped encode per Arrow stream)
             chunks = list(it)
             if not chunks:
                 return
@@ -229,6 +236,43 @@ def build_index(
                 }
             )
 
+        def merge_partials(it):
+            # phase 2 — after shuffling only the (much smaller) partial
+            # bitmaps by cell_id: union partials per (cell, is_origin).
+            # The mass case (fine origin cells, one partial) passes through
+            # with zero decode work; only cells whose pairs spanned several
+            # scan splits (the hot/coarse ones) pay a union.
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            if not len(pdf):
+                return
+            cells = pdf["cell_id"].to_numpy()
+            orig = pdf["is_origin"].to_numpy()
+            order = np.lexsort((orig, cells))
+            cells, orig = cells[order], orig[order]
+            blobs = pdf["bitmap"].to_numpy()[order]
+            cards = pdf["card"].to_numpy()[order]
+            grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
+            starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
+            sizes = np.diff(np.append(starts, len(cells)))
+            out_b = blobs[starts].copy()
+            out_card = cards[starts].copy()
+            for gi in np.nonzero(sizes > 1)[0]:
+                s = starts[gi]
+                blob = bm.union_many(list(blobs[s : s + sizes[gi]]))
+                out_b[gi] = blob
+                out_card[gi] = bm.cardinality(blob)
+            yield pd.DataFrame(
+                {
+                    "cell_id": cells[starts],
+                    "is_origin": orig[starts],
+                    "card": out_card.astype(np.int32),
+                    "bitmap": out_b,
+                }
+            )
+
         # postings for origin cells AND lattice-ancestor rollups: ancestor
         # bitmaps are the hierarchical union of their descendants' keys, so
         # counting/search over postings is the same equi-join as the pairs
@@ -236,9 +280,12 @@ def build_index(
         # bottleneck)
         postings = (
             pairs.select("cell_id", "is_origin", "key_id")
+            .mapInPandas(
+                encode_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
+            )
             .repartition(n_buckets, "cell_id")
             .mapInPandas(
-                encode_partition, "cell_id long, is_origin boolean, card int, bitmap binary"
+                merge_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
             )
             .withColumn("level", F.expr(LEVEL_EXPR))
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
@@ -246,7 +293,7 @@ def build_index(
             .sortWithinPartitions("cell_id")
         )
         tmp = man.tmp_dir("postings")
-        postings.write.mode("overwrite").parquet(tmp)
+        postings.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = spark.read.parquet(tmp).count()
         man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
 

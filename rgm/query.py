@@ -57,30 +57,61 @@ def plan_query_cells(
     max_cells: int,
     collect_small: bool = True,
 ) -> tuple[DataFrame, list[int] | None]:
-    """-> (q_cells(query_id, cell_id, is_anc, q_l3), prune prefixes or None)."""
-    covered = _cover_queries(queries, bucket, max_cells)
+    """-> (q_cells(query_id, cell_id, is_anc, q_l3), prune prefixes or None).
+
+    Small query batches (the broadcast-join regime) are planned entirely
+    driver-side: the raw region rows are collected and the covering kernel
+    (rgm.udfs.compute_covers — the same code the executor UDF runs) executes
+    locally, so a search issues ZERO Spark jobs before the index join.
+    """
     if collect_small:
-        rows = covered.select("query_id", "qcov.cells", "qcov.ancs").limit(
-            SMALL_QUERY_ROWS + 1
-        ).collect()
+        q = _ensure_region_cols(queries)
+        q = q.withColumn(
+            "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
+        )
+        rows = q.select("query_id", *REGION_COLS).limit(SMALL_QUERY_ROWS + 1).collect()
         if len(rows) <= SMALL_QUERY_ROWS:
-            qid, cid, anc = [], [], []
-            for r in rows:
-                for c in r["cells"]:
-                    qid.append(r["query_id"]); cid.append(c); anc.append(False)
-                for c in r["ancs"]:
-                    qid.append(r["query_id"]); cid.append(c); anc.append(True)
-            cells_u = cm.from_spark(np.asarray(cid, dtype=np.int64)) if cid else np.empty(0, np.uint64)
-            l3 = cm.to_spark(cm.parent(cells_u, np.full(len(cells_u), 3))) if len(cells_u) else np.empty(0, np.int64)
-            pdf = pd.DataFrame(
-                {"query_id": qid, "cell_id": np.asarray(cid, dtype=np.int64) if cid else [],
-                 "is_anc": anc, "q_l3": l3}
+            from .udfs import compute_covers
+
+            if not rows:
+                empty = spark.createDataFrame(
+                    [], "query_id string, cell_id long, is_anc boolean, q_l3 long"
+                )
+                return empty, []
+            pdf = pd.DataFrame([r.asDict() for r in rows])
+            for c in ("lat", "lng", "radius_m", "lat_lo", "lat_hi", "lng_lo", "lng_hi"):
+                pdf[c] = pd.to_numeric(pdf[c], errors="coerce")
+            cov = compute_covers(
+                pdf["kind"], pdf["lat"], pdf["lng"], pdf["radius_m"],
+                pdf["lat_lo"], pdf["lat_hi"], pdf["lng_lo"], pdf["lng_hi"],
+                pdf["verts"], pdf["cell_id"], pdf["max_cells"], bucket,
+            )
+            qids = pdf["query_id"].to_numpy()
+            lens_c = np.array([len(x) for x in cov["cells"]], dtype=np.int64)
+            lens_a = np.array([len(x) for x in cov["ancs"]], dtype=np.int64)
+            cid = np.concatenate(
+                [np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["cells"]])
+                 if lens_c.sum() else np.empty(0, np.int64),
+                 np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["ancs"]])
+                 if lens_a.sum() else np.empty(0, np.int64)]
+            )
+            qid = np.concatenate([np.repeat(qids, lens_c), np.repeat(qids, lens_a)])
+            anc = np.concatenate(
+                [np.zeros(int(lens_c.sum()), bool), np.ones(int(lens_a.sum()), bool)]
+            )
+            cells_u = cm.from_spark(cid)
+            l3 = (
+                cm.to_spark(cm.parent(cells_u, np.full(len(cells_u), 3)))
+                if len(cells_u) else np.empty(0, np.int64)
+            )
+            out = pd.DataFrame(
+                {"query_id": qid, "cell_id": cid, "is_anc": anc, "q_l3": l3}
             )
             q_cells = spark.createDataFrame(
-                pdf,
-                schema="query_id string, cell_id long, is_anc boolean, q_l3 long",
+                out, schema="query_id string, cell_id long, is_anc boolean, q_l3 long"
             )
             return q_cells, sorted(set(int(x) for x in l3))
+    covered = _cover_queries(queries, bucket, max_cells)
     q_origin = covered.select(
         "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
     )
@@ -213,9 +244,22 @@ def count_keys(
         F.col("is_origin") | ~F.col("is_anc")
     )
 
-    def union_count(it):
-        # partition-local partial union, then a final union per query —
-        # grouped by hash repartition so each query lands in one partition
+    def partial_union(it):
+        # phase 1 — partition-local: collapse each scan partition's matched
+        # posting rows to one partial bitmap per query (map-side combine;
+        # runs where the broadcast join ran, no shuffle)
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        out_q, out_b = [], []
+        for qid, grp in pdf.groupby("query_id"):
+            out_q.append(qid)
+            out_b.append(bm.union_many(list(grp["bitmap"])))
+        yield pd.DataFrame({"query_id": out_q, "bitmap": out_b})
+
+    def final_count(it):
+        # phase 2 — after a shuffle of the (tiny) partials by query_id
         chunks = list(it)
         if not chunks:
             return
@@ -223,13 +267,18 @@ def count_keys(
         out_q, out_n = [], []
         for qid, grp in pdf.groupby("query_id"):
             out_q.append(qid)
-            out_n.append(len(bm.union_values(list(grp["bitmap"]))))
+            out_n.append(bm.cardinality(bm.union_many(list(grp["bitmap"]))))
         yield pd.DataFrame({"query_id": out_q, "n_keys": out_n})
 
+    # fixed fan-in for the final union: the partials are one row per
+    # (scan partition, query), so a handful of reducers suffices at any
+    # parallelism level — tying this to shuffle_partitions made the tiny
+    # final stage slower the more cores the session had
     return (
         matched.select("query_id", "bitmap")
-        .repartition("query_id")
-        .mapInPandas(union_count, "query_id string, n_keys long")
+        .mapInPandas(partial_union, "query_id string, bitmap binary")
+        .repartition(8, "query_id")
+        .mapInPandas(final_count, "query_id string, n_keys long")
     )
 
 

@@ -112,8 +112,15 @@ REGION_COLS = [
 ]
 
 
-def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
-    """UDF: region columns -> struct(cells, ancs, min_cell_ord).
+def compute_covers(
+    kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
+    lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
+    verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
+    bucket: int, anc_min_level: int = cm.MIN_LEVEL,
+) -> pd.DataFrame:
+    """Pure covering kernel shared by the executor UDF and the driver-side
+    small-batch query planner (rgm.query.plan_query_cells): region columns ->
+    DataFrame(cells, ancs, min_cell_ord).
 
     cells = covering denormalized to the level lattice (reference
     Denormalize semantics, RoaringGeoMapWriter.cpp:21); ancs = each cell's
@@ -121,6 +128,75 @@ def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
     cover cell, order-shifted (reference key clustering order,
     RoaringGeoMapWriter.h:20-24).
     """
+    covers = _region_covers(
+        kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
+        verts, cell_id, max_cells,
+    )
+    # flat-denormalize + ancestors across the whole batch in two calls
+    lens = np.array([len(c) for c in covers], dtype=np.int64)
+    flat = (
+        np.concatenate(covers) if lens.sum() else np.empty(0, dtype=np.uint64)
+    )
+    row_of = np.repeat(np.arange(len(covers)), lens)
+    dn_parts: list[np.ndarray] = []
+    dn_rows: list[np.ndarray] = []
+    if len(flat):
+        # denormalize preserves multiplicity per source cell; do it per
+        # unique level delta in a batch
+        lv = cm.level(flat)
+        target = cm.snap_level_up(lv, bucket)
+        for d in np.unique(target - lv):
+            m = (target - lv) == d
+            cells_d = flat[m]
+            rows_d = row_of[m]
+            for _ in range(int(d)):
+                cells_d = cm.children(cells_d).reshape(-1)
+                rows_d = np.repeat(rows_d, 4)
+            dn_parts.append(cells_d)
+            dn_rows.append(rows_d)
+    if dn_parts:
+        dn_cells = np.concatenate(dn_parts)
+        dn_row = np.concatenate(dn_rows)
+    else:
+        dn_cells = np.empty(0, dtype=np.uint64)
+        dn_row = np.empty(0, dtype=np.int64)
+
+    anc_cells, anc_src = cm.ancestors_at_lattice(dn_cells, bucket)
+    if len(anc_cells):
+        keep = cm.level(anc_cells) >= anc_min_level
+        anc_cells, anc_src = anc_cells[keep], anc_src[keep]
+    anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
+
+    n = len(covers)
+    mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    if len(dn_cells):
+        order = np.argsort(dn_row, kind="stable")
+        sp_sorted = cm.to_spark(dn_cells)[order]
+        rows_sorted = dn_row[order]
+        cells_out = _rows_to_lists(sp_sorted, rows_sorted, n)
+        ords = ord_shift(dn_cells)[order]
+        bounds = np.searchsorted(rows_sorted, np.arange(n + 1))
+        nonempty = bounds[:-1] < bounds[1:]
+        if nonempty.any():
+            mins[nonempty] = np.minimum.reduceat(ords, bounds[:-1][nonempty])
+    else:
+        cells_out = [[] for _ in range(n)]
+    if len(anc_cells):
+        asp = cm.to_spark(anc_cells)
+        o = np.lexsort((asp, anc_row))
+        r, a = anc_row[o], asp[o]
+        # global per-row dedup in one pass (no per-row np.unique)
+        keep = np.concatenate([[True], (r[1:] != r[:-1]) | (a[1:] != a[:-1])])
+        ancs_out = _rows_to_lists(a[keep], r[keep], n)
+    else:
+        ancs_out = [[] for _ in range(n)]
+    return pd.DataFrame(
+        {"cells": cells_out, "ancs": ancs_out, "min_cell_ord": mins}
+    )
+
+
+def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
+    """Executor UDF wrapping :func:`compute_covers` (Arrow-batched)."""
 
     @F.pandas_udf(_COVER_STRUCT)
     def cover_udf(
@@ -128,70 +204,9 @@ def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
         lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
         verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
     ) -> pd.DataFrame:
-        covers = _region_covers(
+        return compute_covers(
             kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
-            verts, cell_id, max_cells,
-        )
-        # flat-denormalize + ancestors across the whole batch in two calls
-        lens = np.array([len(c) for c in covers], dtype=np.int64)
-        flat = (
-            np.concatenate(covers) if lens.sum() else np.empty(0, dtype=np.uint64)
-        )
-        row_of = np.repeat(np.arange(len(covers)), lens)
-        dn_parts: list[np.ndarray] = []
-        dn_rows: list[np.ndarray] = []
-        if len(flat):
-            # denormalize preserves multiplicity per source cell; do it per
-            # unique level delta in a batch
-            lv = cm.level(flat)
-            target = cm.snap_level_up(lv, bucket)
-            for d in np.unique(target - lv):
-                m = (target - lv) == d
-                cells_d = flat[m]
-                rows_d = row_of[m]
-                for _ in range(int(d)):
-                    cells_d = cm.children(cells_d).reshape(-1)
-                    rows_d = np.repeat(rows_d, 4)
-                dn_parts.append(cells_d)
-                dn_rows.append(rows_d)
-        if dn_parts:
-            dn_cells = np.concatenate(dn_parts)
-            dn_row = np.concatenate(dn_rows)
-        else:
-            dn_cells = np.empty(0, dtype=np.uint64)
-            dn_row = np.empty(0, dtype=np.int64)
-
-        anc_cells, anc_src = cm.ancestors_at_lattice(dn_cells, bucket)
-        if len(anc_cells):
-            keep = cm.level(anc_cells) >= anc_min_level
-            anc_cells, anc_src = anc_cells[keep], anc_src[keep]
-        anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
-
-        n = len(covers)
-        mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-        if len(dn_cells):
-            order = np.argsort(dn_row, kind="stable")
-            sp_sorted = cm.to_spark(dn_cells)[order]
-            rows_sorted = dn_row[order]
-            cells_out = _rows_to_lists(sp_sorted, rows_sorted, n)
-            ords = ord_shift(dn_cells)[order]
-            bounds = np.searchsorted(rows_sorted, np.arange(n + 1))
-            nonempty = bounds[:-1] < bounds[1:]
-            if nonempty.any():
-                mins[nonempty] = np.minimum.reduceat(ords, bounds[:-1][nonempty])
-        else:
-            cells_out = [[] for _ in range(n)]
-        if len(anc_cells):
-            asp = cm.to_spark(anc_cells)
-            o = np.lexsort((asp, anc_row))
-            r, a = anc_row[o], asp[o]
-            # global per-row dedup in one pass (no per-row np.unique)
-            keep = np.concatenate([[True], (r[1:] != r[:-1]) | (a[1:] != a[:-1])])
-            ancs_out = _rows_to_lists(a[keep], r[keep], n)
-        else:
-            ancs_out = [[] for _ in range(n)]
-        return pd.DataFrame(
-            {"cells": cells_out, "ancs": ancs_out, "min_cell_ord": mins}
+            verts, cell_id, max_cells, bucket, anc_min_level,
         )
 
     return cover_udf
