@@ -494,6 +494,49 @@ ORACLES = {
                AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
+    # argmax stopword-occurrence language heuristic; winner selection mirrors
+    # Spark's array_max over struct(score, hits, lang): occ desc, distinct
+    # hits desc, lang string desc
+    "text_lang_id": r"""
+        WITH lex(lang, word) AS (VALUES
+          ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+          ('en','is'),('en','that'),('en','for'),('en','with'),('en','are'),
+          ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+          ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','den'),
+          ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),
+          ('fr','est'),('fr','pas'),('fr','pour'),('fr','que'),('fr','une'),
+          ('es','el'),('es','la'),('es','los'),('es','las'),('es','es'),
+          ('es','no'),('es','por'),('es','con'),('es','una'),('es','para')),
+        words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents
+        ),
+        langs AS (SELECT DISTINCT lang FROM lex),
+        per AS (
+          SELECT d.doc_id, l.lang,
+                 count(x.w) AS occ,
+                 count(DISTINCT x.w) AS hits
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN langs l
+          LEFT JOIN (
+            SELECT words.doc_id, lex.lang, words.w
+            FROM words JOIN lex ON words.w = lex.word
+          ) x ON x.doc_id = d.doc_id AND x.lang = l.lang
+          GROUP BY d.doc_id, l.lang
+        ),
+        ranked AS (
+          SELECT doc_id, lang, occ,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY occ DESC, hits DESC, lang DESC
+                 ) AS rn
+          FROM per
+        )
+        SELECT doc_id,
+               CASE WHEN occ > 0 THEN lang ELSE 'und' END AS pred_lang,
+               CAST(occ AS BIGINT) AS lang_score
+        FROM ranked WHERE rn = 1
+    """,
     "rel_lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

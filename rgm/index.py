@@ -46,6 +46,30 @@ _LSB3 = 1 << 54
 PARENT3_EXPR = f"(cell_id & {-2 * _LSB3}) | {_LSB3}"
 
 
+def anc_lattice_sql(
+    cells_col: str, bucket: int, anc_min_level: int = cm.MIN_LEVEL
+) -> str:
+    """SQL expression: array<long> cover cells -> per-key-deduped array of
+    their lattice-level ancestors (levels {3, 3+bucket, ...} below each
+    cell's level, >= anc_min_level).
+
+    Pure JVM bit math mirroring cm.ancestors_at_lattice / cm.parent
+    (validated equal on all faces incl. negative int64 ids), so the covering
+    UDF never has to ship ancestor arrays across the Arrow boundary —
+    the reference's ancestor walk (RoaringGeoMapReader.cpp:57-64) costs
+    nothing in Python."""
+    lvl = "cast(30 - cast(round(log2(c & -c)) as int) / 2 as int)"
+    par = (
+        "(c & -shiftleft(cast(2 as bigint), (30 - a) * 2)) "
+        "| shiftleft(cast(1 as bigint), (30 - a) * 2)"
+    )
+    return (
+        f"array_distinct(flatten(transform({cells_col}, c -> "
+        f"transform(filter(sequence(3, 30, {bucket}), "
+        f"a -> a < {lvl} and a >= {anc_min_level}), a -> {par}))))"
+    )
+
+
 def _ensure_region_cols(df: DataFrame) -> DataFrame:
     """Add any missing canonical region columns as typed nulls."""
     types = {
@@ -63,6 +87,134 @@ def _ensure_region_cols(df: DataFrame) -> DataFrame:
         else:
             df = df.withColumn(c, F.col(c).cast(types[c]))
     return df
+
+
+def _postings_stage(spark: SparkSession, man: Manifest, n_buckets: int, codec: str) -> None:
+    """Stage 4: roaring posting lists from the current ``pairs`` table.
+
+    Callable on its own (``refresh_postings``) so streamed pairs appends
+    (rgm.streaming.stream_index_append) can be compacted into postings."""
+    t0 = time.time()
+    pairs = spark.read.parquet(man.stage_dir("pairs"))
+
+    def encode_partials(it):
+        # phase 1 — map-side combine on the scan splits, NO shuffle of the
+        # raw pairs: each split encodes one partial bitmap per
+        # (cell, is_origin) it sees. Hot cells (low-level lattice rollups
+        # whose posting lists hold millions of keys at 10^12 rows) span
+        # many file splits, so their work is spread across tasks here —
+        # this is the salting/skew stage (SURVEY C7, §7.4); everything is
+        # vectorized (one lexsort + one grouped encode per Arrow stream)
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        cells = pdf["cell_id"].to_numpy()
+        orig = pdf["is_origin"].to_numpy()
+        keys = pdf["key_id"].to_numpy().astype(np.uint32)
+        order = np.lexsort((keys, orig, cells))
+        cells, orig, keys = cells[order], orig[order], keys[order]
+        # drop duplicate (cell, origin, key) triples so groups hold
+        # sorted-unique keys (what the batch encoder requires)
+        if len(cells) > 1:
+            dup = np.concatenate(
+                [[False],
+                 (cells[1:] == cells[:-1]) & (orig[1:] == orig[:-1]) & (keys[1:] == keys[:-1])]
+            )
+            if dup.any():
+                keep = ~dup
+                cells, orig, keys = cells[keep], orig[keep], keys[keep]
+        grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
+        starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
+        ends = np.append(starts[1:], len(cells))
+        blobs, cards = bm.encode_sorted_groups(keys, starts, ends)
+        yield pd.DataFrame(
+            {
+                "cell_id": cells[starts],
+                "is_origin": orig[starts],
+                "card": cards,
+                "bitmap": blobs,
+            }
+        )
+
+    def merge_partials(it):
+        # phase 2 — after shuffling only the (much smaller) partial
+        # bitmaps by cell_id: union partials per (cell, is_origin).
+        # The mass case (fine origin cells, one partial) passes through
+        # with zero decode work; only cells whose pairs spanned several
+        # scan splits (the hot/coarse ones) pay a union.
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        cells = pdf["cell_id"].to_numpy()
+        orig = pdf["is_origin"].to_numpy()
+        order = np.lexsort((orig, cells))
+        cells, orig = cells[order], orig[order]
+        blobs = pdf["bitmap"].to_numpy()[order]
+        cards = pdf["card"].to_numpy()[order]
+        grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
+        starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
+        sizes = np.diff(np.append(starts, len(cells)))
+        out_b = blobs[starts].copy()
+        out_card = cards[starts].copy()
+        for gi in np.nonzero(sizes > 1)[0]:
+            s = starts[gi]
+            blob = bm.union_many(list(blobs[s : s + sizes[gi]]))
+            out_b[gi] = blob
+            out_card[gi] = bm.cardinality(blob)
+        yield pd.DataFrame(
+            {
+                "cell_id": cells[starts],
+                "is_origin": orig[starts],
+                "card": out_card.astype(np.int32),
+                "bitmap": out_b,
+            }
+        )
+
+    # postings for origin cells AND lattice-ancestor rollups: ancestor
+    # bitmaps are the hierarchical union of their descendants' keys, so
+    # counting/search over postings is the same equi-join as the pairs
+    # path (a broadcast nested-loop range join here was the sf0.1
+    # bottleneck)
+    postings = (
+        pairs.select("cell_id", "is_origin", "key_id")
+        .mapInPandas(
+            encode_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
+        )
+        .repartition(n_buckets, "cell_id")
+        .mapInPandas(
+            merge_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
+        )
+        .withColumn("level", F.expr(LEVEL_EXPR))
+        .withColumn("cell_l3", F.expr(PARENT3_EXPR))
+        # already hash-co-located by cell_id from the merge shuffle; an
+        # in-partition sort gives tight per-row-group cell_id min/max stats
+        # (the zone-map pruning) without another full shuffle — and without
+        # repartitionByRange's sampling pass, which would re-run both
+        # Python encode phases just to pick boundaries
+        .sortWithinPartitions("cell_id")
+    )
+    tmp = man.tmp_dir("postings")
+    postings.write.mode("overwrite").option("compression", codec).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
+
+
+def refresh_postings(
+    spark: SparkSession, index_path: str, n_buckets: int | None = None,
+    codec: str = "snappy",
+) -> None:
+    """Recompute postings from the current pairs table (e.g. after streaming
+    appends). Atomic: the old postings stay readable until the new commit."""
+    man = Manifest(index_path)
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+    _postings_stage(spark, man, n_buckets, codec)
 
 
 def build_index(
@@ -104,7 +256,7 @@ def build_index(
         # the input may arrive as a handful of files (= partitions); the
         # covering UDF is the build's hot loop, so force full parallelism
         src = src.repartition(2 * n_buckets)
-        cover_udf = make_cover_udf(bucket, anc_min_level)
+        cover_udf = make_cover_udf(bucket)
         covered = (
             src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
             .select(
@@ -117,7 +269,6 @@ def build_index(
                 .otherwise(F.lit(None).cast("double"))
                 .alias("p_radius_m"),
                 F.col("cov.cells").alias("cells"),
-                F.col("cov.ancs").alias("ancs"),
                 F.col("cov.min_cell_ord").alias("min_cell_ord"),
             )
         )
@@ -160,7 +311,7 @@ def build_index(
             bucketed.repartition(max(len(bounds) + 1, 1), "rbucket")
             .withColumn("rn", F.row_number().over(w) - 1)
             .withColumn("key_id", (F.col("rn") + off_map[F.col("rbucket")]).cast("int"))
-            .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells", "ancs")
+            .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells")
         )
         tmp = man.tmp_dir("keys")
         keys.write.mode("overwrite").option("compression", codec).parquet(tmp)
@@ -174,128 +325,36 @@ def build_index(
         origin = keys.select(
             F.explode("cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
         )
+        # lattice ancestors derived JVM-side from the cover (deduped per
+        # key by array_distinct) — the covering UDF never ships them
         anc = keys.select(
-            F.explode("ancs").alias("cell_id"), F.lit(False).alias("is_origin"), "key_id"
+            F.explode(
+                F.expr(anc_lattice_sql("cells", bucket, anc_min_level))
+            ).alias("cell_id"),
+            F.lit(False).alias("is_origin"),
+            "key_id",
         )
-        pairs = (
+        exploded = (
             origin.unionByName(anc)
             .withColumn("level", F.expr(LEVEL_EXPR))
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
-            .repartitionByRange(n_buckets, "cell_id")
-            .sortWithinPartitions("cell_id", "key_id")
+        )
+        # repartitionByRange samples its child to pick boundaries, which
+        # would re-run the whole explode; persist so the sampling pass and
+        # the real pass share one computation
+        exploded.persist()
+        pairs = exploded.repartitionByRange(n_buckets, "cell_id").sortWithinPartitions(
+            "cell_id", "key_id"
         )
         tmp = man.tmp_dir("pairs")
         pairs.write.mode("overwrite").option("compression", codec).parquet(tmp)
+        exploded.unpersist()
         n = spark.read.parquet(tmp).count()
         man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
 
     # -- stage 4: postings ---------------------------------------------------
     if not (resume and man.is_committed("postings")):
-        t0 = time.time()
-        pairs = spark.read.parquet(man.stage_dir("pairs"))
-
-        def encode_partials(it):
-            # phase 1 — map-side combine on the scan splits, NO shuffle of the
-            # raw pairs: each split encodes one partial bitmap per
-            # (cell, is_origin) it sees. Hot cells (low-level lattice rollups
-            # whose posting lists hold millions of keys at 10^12 rows) span
-            # many file splits, so their work is spread across tasks here —
-            # this is the salting/skew stage (SURVEY C7, §7.4); everything is
-            # vectorized (one lexsort + one grouped encode per Arrow stream)
-            chunks = list(it)
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True)
-            if not len(pdf):
-                return
-            cells = pdf["cell_id"].to_numpy()
-            orig = pdf["is_origin"].to_numpy()
-            keys = pdf["key_id"].to_numpy().astype(np.uint32)
-            order = np.lexsort((keys, orig, cells))
-            cells, orig, keys = cells[order], orig[order], keys[order]
-            # drop duplicate (cell, origin, key) triples so groups hold
-            # sorted-unique keys (what the batch encoder requires)
-            if len(cells) > 1:
-                dup = np.concatenate(
-                    [[False],
-                     (cells[1:] == cells[:-1]) & (orig[1:] == orig[:-1]) & (keys[1:] == keys[:-1])]
-                )
-                if dup.any():
-                    keep = ~dup
-                    cells, orig, keys = cells[keep], orig[keep], keys[keep]
-            grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
-            starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
-            ends = np.append(starts[1:], len(cells))
-            blobs, cards = bm.encode_sorted_groups(keys, starts, ends)
-            yield pd.DataFrame(
-                {
-                    "cell_id": cells[starts],
-                    "is_origin": orig[starts],
-                    "card": cards,
-                    "bitmap": blobs,
-                }
-            )
-
-        def merge_partials(it):
-            # phase 2 — after shuffling only the (much smaller) partial
-            # bitmaps by cell_id: union partials per (cell, is_origin).
-            # The mass case (fine origin cells, one partial) passes through
-            # with zero decode work; only cells whose pairs spanned several
-            # scan splits (the hot/coarse ones) pay a union.
-            chunks = list(it)
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True)
-            if not len(pdf):
-                return
-            cells = pdf["cell_id"].to_numpy()
-            orig = pdf["is_origin"].to_numpy()
-            order = np.lexsort((orig, cells))
-            cells, orig = cells[order], orig[order]
-            blobs = pdf["bitmap"].to_numpy()[order]
-            cards = pdf["card"].to_numpy()[order]
-            grp_change = (cells[1:] != cells[:-1]) | (orig[1:] != orig[:-1])
-            starts = np.concatenate([[0], np.nonzero(grp_change)[0] + 1])
-            sizes = np.diff(np.append(starts, len(cells)))
-            out_b = blobs[starts].copy()
-            out_card = cards[starts].copy()
-            for gi in np.nonzero(sizes > 1)[0]:
-                s = starts[gi]
-                blob = bm.union_many(list(blobs[s : s + sizes[gi]]))
-                out_b[gi] = blob
-                out_card[gi] = bm.cardinality(blob)
-            yield pd.DataFrame(
-                {
-                    "cell_id": cells[starts],
-                    "is_origin": orig[starts],
-                    "card": out_card.astype(np.int32),
-                    "bitmap": out_b,
-                }
-            )
-
-        # postings for origin cells AND lattice-ancestor rollups: ancestor
-        # bitmaps are the hierarchical union of their descendants' keys, so
-        # counting/search over postings is the same equi-join as the pairs
-        # path (a broadcast nested-loop range join here was the sf0.1
-        # bottleneck)
-        postings = (
-            pairs.select("cell_id", "is_origin", "key_id")
-            .mapInPandas(
-                encode_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
-            )
-            .repartition(n_buckets, "cell_id")
-            .mapInPandas(
-                merge_partials, "cell_id long, is_origin boolean, card int, bitmap binary"
-            )
-            .withColumn("level", F.expr(LEVEL_EXPR))
-            .withColumn("cell_l3", F.expr(PARENT3_EXPR))
-            .repartitionByRange(max(n_buckets // 2, 1), "cell_id")
-            .sortWithinPartitions("cell_id")
-        )
-        tmp = man.tmp_dir("postings")
-        postings.write.mode("overwrite").option("compression", codec).parquet(tmp)
-        n = spark.read.parquet(tmp).count()
-        man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
+        _postings_stage(spark, man, n_buckets, codec)
 
     return man
 

@@ -115,8 +115,12 @@ def plan_query_cells(
     q_origin = covered.select(
         "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
     )
+    from .index import anc_lattice_sql
+
     q_anc = covered.select(
-        "query_id", F.explode("qcov.ancs").alias("cell_id"), F.lit(True).alias("is_anc")
+        "query_id",
+        F.explode(F.expr(anc_lattice_sql("qcov.cells", bucket))).alias("cell_id"),
+        F.lit(True).alias("is_anc"),
     )
     q_cells = q_origin.unionByName(q_anc).withColumn("q_l3", F.expr(PARENT3_EXPR))
     return q_cells, None

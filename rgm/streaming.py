@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import Manifest
-from .index import LEVEL_EXPR, PARENT3_EXPR, _ensure_region_cols
+from .index import LEVEL_EXPR, PARENT3_EXPR, _ensure_region_cols, anc_lattice_sql
 from .udfs import REGION_COLS, make_cover_udf, make_tile_udf
 
 
@@ -47,6 +47,7 @@ def stream_index_append(
     state_path = os.path.join(index_path, "_stream_state.json")
 
     cover_udf = make_cover_udf(bucket)
+    anc_min_level = int(man.doc["params"].get("anc_min_level", 3))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -75,7 +76,11 @@ def stream_index_append(
             F.explode("cov.cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
         )
         anc = keyed.select(
-            F.explode("cov.ancs").alias("cell_id"), F.lit(False).alias("is_origin"), "key_id"
+            F.explode(
+                F.expr(anc_lattice_sql("cov.cells", bucket, anc_min_level))
+            ).alias("cell_id"),
+            F.lit(False).alias("is_origin"),
+            "key_id",
         )
         pairs = (
             origin.unionByName(anc)
@@ -91,7 +96,6 @@ def stream_index_append(
             F.col("lng").alias("p_lng"),
             F.col("cov.min_cell_ord").alias("min_cell_ord"),
             F.col("cov.cells").alias("cells"),
-            F.col("cov.ancs").alias("ancs"),
         ).write.mode("append").parquet(keys_dir)
         with open(state_path, "w") as f:
             json.dump({"next_key_id": next_id + n, "last_batch_id": batch_id}, f)

@@ -83,7 +83,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["score"].alias("lang_score"),
+        best["score"].cast("long").alias("lang_score"),
     )
 
 

@@ -100,7 +100,6 @@ def _region_covers(
 _COVER_STRUCT = T.StructType(
     [
         T.StructField("cells", T.ArrayType(T.LongType())),
-        T.StructField("ancs", T.ArrayType(T.LongType())),
         T.StructField("min_cell_ord", T.LongType()),
     ]
 )
@@ -116,17 +115,22 @@ def compute_covers(
     kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
     lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
     verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
-    bucket: int, anc_min_level: int = cm.MIN_LEVEL,
+    bucket: int, anc_min_level: int = cm.MIN_LEVEL, with_ancs: bool = True,
 ) -> pd.DataFrame:
     """Pure covering kernel shared by the executor UDF and the driver-side
     small-batch query planner (rgm.query.plan_query_cells): region columns ->
-    DataFrame(cells, ancs, min_cell_ord).
+    DataFrame(cells[, ancs], min_cell_ord).
 
     cells = covering denormalized to the level lattice (reference
     Denormalize semantics, RoaringGeoMapWriter.cpp:21); ancs = each cell's
     lattice ancestors at levels >= anc_min_level; min_cell_ord = uint64-min
     cover cell, order-shifted (reference key clustering order,
     RoaringGeoMapWriter.h:20-24).
+
+    Distributed consumers (build, big query batches) set with_ancs=False and
+    derive ancestors JVM-side (rgm.index.anc_lattice_sql — pure bit math,
+    validated against cm.ancestors_at_lattice) so the Arrow boundary carries
+    only the covering itself.
     """
     covers = _region_covers(
         kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
@@ -161,11 +165,15 @@ def compute_covers(
         dn_cells = np.empty(0, dtype=np.uint64)
         dn_row = np.empty(0, dtype=np.int64)
 
-    anc_cells, anc_src = cm.ancestors_at_lattice(dn_cells, bucket)
-    if len(anc_cells):
-        keep = cm.level(anc_cells) >= anc_min_level
-        anc_cells, anc_src = anc_cells[keep], anc_src[keep]
-    anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
+    if with_ancs:
+        anc_cells, anc_src = cm.ancestors_at_lattice(dn_cells, bucket)
+        if len(anc_cells):
+            keep = cm.level(anc_cells) >= anc_min_level
+            anc_cells, anc_src = anc_cells[keep], anc_src[keep]
+        anc_row = dn_row[anc_src] if len(anc_cells) else np.empty(0, dtype=np.int64)
+    else:
+        anc_cells = np.empty(0, dtype=np.uint64)
+        anc_row = np.empty(0, dtype=np.int64)
 
     n = len(covers)
     mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
@@ -181,6 +189,8 @@ def compute_covers(
             mins[nonempty] = np.minimum.reduceat(ords, bounds[:-1][nonempty])
     else:
         cells_out = [[] for _ in range(n)]
+    if not with_ancs:
+        return pd.DataFrame({"cells": cells_out, "min_cell_ord": mins})
     if len(anc_cells):
         asp = cm.to_spark(anc_cells)
         o = np.lexsort((asp, anc_row))
@@ -195,8 +205,12 @@ def compute_covers(
     )
 
 
-def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
-    """Executor UDF wrapping :func:`compute_covers` (Arrow-batched)."""
+def make_cover_udf(bucket: int):
+    """Executor UDF wrapping :func:`compute_covers` (Arrow-batched).
+
+    Emits struct(cells, min_cell_ord) only — lattice ancestors are derived
+    JVM-side from ``cells`` (rgm.index.anc_lattice_sql), keeping the Arrow
+    boundary minimal."""
 
     @F.pandas_udf(_COVER_STRUCT)
     def cover_udf(
@@ -206,7 +220,7 @@ def make_cover_udf(bucket: int, anc_min_level: int = cm.MIN_LEVEL):
     ) -> pd.DataFrame:
         return compute_covers(
             kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
-            verts, cell_id, max_cells, bucket, anc_min_level,
+            verts, cell_id, max_cells, bucket, with_ancs=False,
         )
 
     return cover_udf

@@ -209,3 +209,38 @@ def test_region_payload_intersects_contains(spark, tmp_path):
     assert got_inter == want_inter
     assert got_cont == want_cont
     assert want_cont < want_inter  # sanity: contains is strictly stronger
+
+
+def test_hot_cell_skew_postings(spark, tmp_path_factory):
+    """Skew soundness (SURVEY C7): thousands of keys on the SAME leaf cell,
+    arriving from many input partitions. The two-phase postings encode
+    (partial bitmap per scan split -> merge per cell) must union partials
+    exactly: every rollup/origin posting's cardinality equals the number of
+    distinct keys on that cell, and a query on the hot point returns all
+    keys once each."""
+    out = str(tmp_path_factory.mktemp("idx") / "hot")
+    n = 3000
+    pts = (
+        spark.range(n)
+        .repartition(8)  # spread the hot cell across many splits
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.lit("point").alias("kind"),
+            F.lit(SF[0]).alias("lat"),
+            F.lit(SF[1]).alias("lng"),
+        )
+    )
+    ridx.build_index(spark, pts, "key", out, bucket=3, n_buckets=4)
+    postings = ridx.load_postings(spark, out)
+    # every posting row for the hot lineage carries all n keys exactly once
+    cards = [r["card"] for r in postings.select("card").collect()]
+    assert cards and all(c == n for c in cards), cards
+    q = spark.createDataFrame(
+        [("q", "point", SF[0], SF[1])],
+        "query_id string, kind string, lat double, lng double",
+    )
+    got = rq.search(spark, out, q, refine=True).select("key").collect()
+    keys = sorted(r["key"] for r in got)
+    assert keys == sorted(f"k{i}" for i in range(n))
+    cnt = rq.count_keys(spark, out, q).collect()
+    assert cnt[0]["n_keys"] == n

@@ -53,6 +53,20 @@ def test_stream_index_append_then_query(spark, tmp_path):
     ids = [r["key_id"] for r in keys]
     assert len(ids) == 30 and len(set(ids)) == 30
 
+    # postings are stale until compaction; refresh_postings folds the
+    # streamed pairs in, after which the bitmap count path agrees with the
+    # pair-join path
+    ridx.refresh_postings(spark, out, n_buckets=2)
+    cnt = {r["query_id"]: r["n_keys"] for r in rq.count_keys(spark, out, qdf).collect()}
+    exp = {
+        r["query_id"]: r["n"]
+        for r in rq.search(spark, out, qdf, refine=False)
+        .groupBy("query_id")
+        .agg(F.countDistinct("key_id").alias("n"))
+        .collect()
+    }
+    assert cnt == exp, (cnt, exp)
+
 
 def test_stream_tile_counts_watermark(spark, tmp_path):
     import pandas as pd

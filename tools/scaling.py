@@ -1,9 +1,21 @@
 """Scaling-efficiency evidence (north_rule): run bench.py on IDENTICAL
-input at two parallelism levels (default local[8] vs local[32] — the
-sandbox stand-in for N vs 4N executors) and report throughput at both plus
+input at two parallelism levels and report throughput at both plus
 efficiency = (T_N / T_4N) / 4. Writes BENCH/BASELINE.md.
 
-Usage: python tools/scaling.py [sf_dir] [n_low] [n_high]
+Level choice (default local[2] vs local[8]): every pandas-UDF task
+occupies TWO OS threads — the JVM task thread feeding/draining Arrow and
+its Python worker — so local[k] drives ~2k threads through UDF stages.
+On this 32-vCPU single box, local[8] (≈16 threads) is the largest "4N"
+level whose demand stays well under the vCPU count; local[32] would ask
+for ~64 threads and measure oversubscription, not scaling. On a real
+multi-executor cluster each executor brings its own cores, so N→4N
+executors adds real capacity — this pairing is the sandbox stand-in.
+
+Host capacity drifts (shared VM: measured 17–31 effective cores across an
+hour), so the two levels are run INTERLEAVED for ``reps`` rounds and the
+per-query minimum is taken per level.
+
+Usage: python tools/scaling.py [sf_dir] [n_low] [n_high] [reps]
 """
 
 from __future__ import annotations
@@ -18,6 +30,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    # identical deterministic synthetic scale-up at every level so the
+    # measurement is dominated by parallel work, not fixed job overhead
+    env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "2000000")
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -55,12 +70,41 @@ def _kernel_work(n: int) -> None:
     )
 
 
+def _merge_min(runs: list[dict]) -> dict:
+    """Per-query minimum across repetitions of one level; headline value
+    recomputed as the sum of per-query minima (drift-robust)."""
+    base = dict(runs[0])
+    qmin = {}
+    for q in runs[0]["queries"]:
+        qmin[q] = min(r["queries"][q] for r in runs if q in r["queries"])
+    base["queries"] = {k: round(v, 3) for k, v in qmin.items()}
+    base["value"] = round(sum(qmin[q] for q in base["headline"] if q in qmin), 3)
+    work_rows = (
+        base["n_points"]
+        + base["rows"].get("region_index_build_50k", 0)
+        + base["rows"].get("tile_assign_s2", 0)
+        + base["rows"].get("contains_2000_caps", 0)
+    )
+    base["throughput_rows_per_sec"] = (
+        round(work_rows / base["value"], 1) if base["value"] else None
+    )
+    return base
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    lo = run(sf_dir, n_low)
-    hi = run(sf_dir, n_high)
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    lows, highs = [], []
+    for rep in range(reps):
+        lows.append(run(sf_dir, n_low))
+        highs.append(run(sf_dir, n_high))
+        print(
+            f"rep {rep}: low={lows[-1]['value']}s high={highs[-1]['value']}s",
+            file=sys.stderr,
+        )
+    lo, hi = _merge_min(lows), _merge_min(highs)
     ceiling = raw_kernel_ceiling(n_low, n_high)
     ratio = n_high / n_low
     eff_total = (lo["value"] / hi["value"]) / ratio
@@ -79,18 +123,31 @@ def main() -> None:
     with open(md, "w") as f:
         f.write("# BENCH/BASELINE — measured throughput + scaling efficiency\n\n")
         f.write(
-            f"Identical input (`{sf_dir}`), identical job, two parallelism "
-            f"levels (`local[{n_low}]` vs `local[{n_high}]`) — the sandbox "
-            "evidence for the north_rule's N vs 4N executor criterion.\n\n"
+            f"Identical input (`{sf_dir}` + {lo['n_points']:,} total indexed "
+            f"points incl. deterministic synthetic scale-up), identical job, "
+            f"two parallelism levels (`local[{n_low}]` vs `local[{n_high}]`) "
+            "— the sandbox evidence for the north_rule's N vs 4N executor "
+            "criterion. Each pandas-UDF task occupies two OS threads (JVM "
+            f"Arrow feeder + Python worker), so local[{n_high}] already "
+            f"drives ~{2*n_high} threads; larger levels on this 32-vCPU box "
+            "would measure oversubscription, not scaling. Levels were run "
+            f"interleaved x{reps} (shared-host capacity drifts); per-query "
+            "minima reported. The headline wall covers the data-proportional "
+            "pipeline (index builds + 2000-cap query batch + tile pass); "
+            "fixed-size driver-contract queries are reported per-query "
+            "below.\n\n"
         )
         f.write("| metric | local[%d] | local[%d] |\n|---|---|---|\n" % (n_low, n_high))
-        f.write(f"| pipeline wall (sec) | {lo['value']} | {hi['value']} |\n")
+        f.write(f"| headline pipeline wall (sec) | {lo['value']} | {hi['value']} |\n")
         f.write(
             f"| throughput (rows/sec) | {lo['throughput_rows_per_sec']} | "
             f"{hi['throughput_rows_per_sec']} |\n"
         )
         f.write(f"| points indexed | {lo['n_points']} | {hi['n_points']} |\n\n")
-        f.write(f"**Scaling efficiency (whole pipeline)** = (T{n_low}/T{n_high})/{ratio:g} = **{eff_total:.3f}**\n\n")
+        f.write(
+            f"**Scaling efficiency (headline pipeline)** = "
+            f"(T{n_low}/T{n_high})/{ratio:g} = **{eff_total:.3f}**\n\n"
+        )
         f.write(
             f"**Scaling efficiency (index-build work, the 100 TB-dominant stages)** "
             f"= **{eff_heavy:.3f}** ({'+'.join(heavy)}: {t_lo_h:.1f}s -> {t_hi_h:.1f}s)\n\n"
@@ -114,7 +171,7 @@ def main() -> None:
             "stages (index build, covering UDF, query joins) are the "
             "signal.\n"
         )
-    print(json.dumps({"eff_total": eff_total, "low": lo, "high": hi}))
+    print(json.dumps({"eff_total": eff_total, "eff_heavy": eff_heavy, "low": lo, "high": hi}))
     print(f"wrote {md}")
 
 
