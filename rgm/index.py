@@ -322,33 +322,31 @@ def build_index(
     # -- stage 3: pairs ------------------------------------------------------
     if not (resume and man.is_committed("pairs")):
         t0 = time.time()
-        origin = keys.select(
-            F.explode("cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
+        # The exploded pairs (10x the key count) are NEVER shuffled: the
+        # small keys table is range-shuffled on min_cell_ord first, and the
+        # spatial-locality clustering (a key's cover cells and their lattice
+        # ancestors are numerically near its min cell) makes each partition's
+        # exploded cell_ids a tight range already — an in-partition sort then
+        # yields cell-sorted files with tight row-group min/max stats (the
+        # reference's block-max index) at zero big-data shuffle cost.
+        src_keys = keys.repartitionByRange(n_buckets, "min_cell_ord", "key")
+        # one projection emits origin cells and (per-key-deduped) lattice
+        # ancestors together — single scan, single explode
+        both = (
+            f"concat("
+            f"transform(cells, c -> struct(c as cell_id, true as is_origin)), "
+            f"transform({anc_lattice_sql('cells', bucket, anc_min_level)}, "
+            f"c -> struct(c as cell_id, false as is_origin)))"
         )
-        # lattice ancestors derived JVM-side from the cover (deduped per
-        # key by array_distinct) — the covering UDF never ships them
-        anc = keys.select(
-            F.explode(
-                F.expr(anc_lattice_sql("cells", bucket, anc_min_level))
-            ).alias("cell_id"),
-            F.lit(False).alias("is_origin"),
-            "key_id",
-        )
-        exploded = (
-            origin.unionByName(anc)
-            .withColumn("level", F.expr(LEVEL_EXPR))
+        pairs = (
+            src_keys.select("key_id", F.explode(F.expr(both)).alias("e"))
+            .select(F.col("e.cell_id").alias("cell_id"),
+                    F.col("e.is_origin").alias("is_origin"), "key_id")
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
-        )
-        # repartitionByRange samples its child to pick boundaries, which
-        # would re-run the whole explode; persist so the sampling pass and
-        # the real pass share one computation
-        exploded.persist()
-        pairs = exploded.repartitionByRange(n_buckets, "cell_id").sortWithinPartitions(
-            "cell_id", "key_id"
+            .sortWithinPartitions("cell_id", "key_id")
         )
         tmp = man.tmp_dir("pairs")
         pairs.write.mode("overwrite").option("compression", codec).parquet(tmp)
-        exploded.unpersist()
         n = spark.read.parquet(tmp).count()
         man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
 

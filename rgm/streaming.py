@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import Manifest
-from .index import LEVEL_EXPR, PARENT3_EXPR, _ensure_region_cols, anc_lattice_sql
+from .index import PARENT3_EXPR, _ensure_region_cols, anc_lattice_sql
 from .udfs import REGION_COLS, make_cover_udf, make_tile_udf
 
 
@@ -84,7 +84,6 @@ def stream_index_append(
         )
         pairs = (
             origin.unionByName(anc)
-            .withColumn("level", F.expr(LEVEL_EXPR))
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
             .sortWithinPartitions("cell_id")
         )
