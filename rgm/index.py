@@ -272,9 +272,30 @@ def build_index(
         # the input may arrive as a handful of files (= partitions); the
         # covering UDF is the build's hot loop, so force full parallelism
         src = src.repartition(2 * n_buckets)
+        # point fast path (the mass case: every image row is a point): the
+        # cover of a point is exactly its leaf cell, which is on the level
+        # lattice for every bucket (level 30; snap clamps at MAX_LEVEL), and
+        # min_cell_ord is just the sign-flipped cell — so the Arrow boundary
+        # is (2 doubles in, 1 long out) instead of the full region struct
+        from .udfs import leaf_cell_udf
+
+        ORD_XOR = F.lit(-(1 << 63)).cast("long")
+        pts_cov = (
+            src.filter(F.col("kind") == "point")
+            .withColumn("_leaf", leaf_cell_udf(F.col("lat"), F.col("lng")))
+            .select(
+                F.col(key_col).alias("key"),
+                F.col("lat").alias("p_lat"),
+                F.col("lng").alias("p_lng"),
+                F.lit(None).cast("double").alias("p_radius_m"),
+                F.array("_leaf").alias("cells"),
+                F.col("_leaf").bitwiseXOR(ORD_XOR).alias("min_cell_ord"),
+            )
+        )
         cover_udf = make_cover_udf(bucket)
-        covered = (
-            src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
+        reg_cov = (
+            src.filter(F.coalesce(F.col("kind"), F.lit("")) != "point")
+            .withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
             .select(
                 F.col(key_col).alias("key"),
                 F.col("lat").alias("p_lat"),
@@ -288,6 +309,7 @@ def build_index(
                 F.col("cov.min_cell_ord").alias("min_cell_ord"),
             )
         )
+        covered = pts_cov.unionByName(reg_cov)
         tmp = man.tmp_dir("covers")
         covered.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = _parquet_rows(tmp)

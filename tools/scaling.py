@@ -32,7 +32,7 @@ def run(sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     # identical deterministic synthetic scale-up at every level so the
     # measurement is dominated by parallel work, not fixed job overhead
-    env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "2000000")
+    env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "10000000")
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
