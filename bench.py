@@ -122,6 +122,38 @@ def main() -> None:
         lambda: _count(rq.search(spark, region_idx, caps, refine=False)),
     )
 
+    # -- image payload pipeline (the north_star table: synth -> fidelity
+    # invariants -> features). Per-row work (codec + phash + resize) is the
+    # compute profile a real 100 TB image corpus has — these stages carry
+    # the representative CPU weight in the scaling measurement.
+    import rgm.images as rimg
+
+    n_img = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "30000"))
+    img_dir = idx_path + "_images"
+    shutil.rmtree(img_dir, ignore_errors=True)
+
+    def img_synth():
+        rimg.images_table(spark, n_img).write.mode("overwrite").parquet(img_dir)
+        return n_img
+
+    timed("images_synth", img_synth)
+    # fidelity/features consume the LAZY synth DF (whole-pipeline fusion):
+    # at 100 TB you stream source bytes through the transform once rather
+    # than bounce every intermediate off storage — recompute of a cheap
+    # generator beats a full materialize/rescan round-trip
+    imgs = rimg.images_table(spark, n_img)
+
+    def img_fid():
+        fid = rimg.fidelity_check(imgs)
+        bad = fid.filter(
+            (F.col("psnr") < 40.0) | ~F.col("phash_match") | ~F.col("caption_ok")
+        ).count()
+        assert bad == 0, f"{bad} fidelity violations"
+        return n_img
+
+    timed("images_fidelity", img_fid)
+    timed("images_features", lambda: rimg.extract_features(imgs).count())
+
     # -- driver-contract spatial queries -------------------------------------
     timed("contains_cap8", lambda: _count(bq.q_spatial_contains_cap(spark, sf_dir)))
     timed("contains_polygon", lambda: _count(bq.q_spatial_contains_polygon(spark, sf_dir)))
@@ -149,7 +181,8 @@ def main() -> None:
     headline = [
         "index_build", "region_index_build_50k", "contains_2000_caps",
         "count_2000_caps", "region_contains_2000", "tile_assign_s2",
-        "tile_counts_s2",
+        "tile_counts_s2", "images_synth", "images_fidelity",
+        "images_features",
     ]
     value = round(sum(timings[q] for q in headline if q in timings), 3)
     total = round(sum(timings.values()), 3)
@@ -158,6 +191,7 @@ def main() -> None:
     work_rows = (
         n_points + n_regions
         + rows.get("tile_assign_s2", 0) + rows.get("contains_2000_caps", 0)
+        + 3 * rows.get("images_synth", 0)  # synth + fidelity + features passes
     )
     out = {
         "metric": "spatial_join_tile_pipeline_wall_sec",

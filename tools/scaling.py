@@ -32,7 +32,9 @@ def run(sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     # identical deterministic synthetic scale-up at every level so the
     # measurement is dominated by parallel work, not fixed job overhead
-    env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "10000000")
+    env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "500000")
+    env.setdefault("SPARK_GRAFT_BENCH_IMAGES", "600000")
+    env.setdefault("SPARK_GRAFT_BENCH_REGIONS", "100000")
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -109,7 +111,7 @@ def main() -> None:
     ratio = n_high / n_low
     eff_total = (lo["value"] / hi["value"]) / ratio
     # heavy-work efficiency: the stages that dominate a real 100 TB run
-    heavy = [q for q in ("index_build", "region_index_build_50k") if q in lo["queries"]]
+    heavy = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features") if q in lo["queries"]]
     t_lo_h = sum(lo["queries"][q] for q in heavy)
     t_hi_h = sum(hi["queries"][q] for q in heavy)
     eff_heavy = (t_lo_h / t_hi_h) / ratio if t_hi_h else float("nan")
