@@ -29,6 +29,16 @@ def _count(df) -> int:
     return df.count()
 
 
+def work_rows(n_points: int, n_regions: int, rows: dict) -> int:
+    """The throughput numerator — ONE definition shared with
+    tools/scaling.py so BENCH json and BASELINE.md agree."""
+    return (
+        n_points + n_regions
+        + rows.get("tile_assign_s2", 0) + rows.get("contains_2000_caps", 0)
+        + 3 * rows.get("images_synth", 0)  # synth + fidelity + features passes
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -188,13 +198,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # throughput: rows ingested into the two indexes + tile assignments +
     # query batch results, per headline wall second (BASELINE.json metric)
-    work_rows = (
-        n_points + n_regions
-        + rows.get("tile_assign_s2", 0) + rows.get("contains_2000_caps", 0)
-        + 3 * rows.get("images_synth", 0)  # synth + fidelity + features passes
-    )
+    wrk = work_rows(n_points, n_regions, rows)
     out = {
-        "metric": "spatial_join_tile_pipeline_wall_sec",
+        # renamed from spatial_join_tile_pipeline_wall_sec (r1): the value is
+        # the sum of the data-proportional HEADLINE stages, so the name now
+        # says so; the all-stages wall is total_incl_extras_sec
+        "metric": "headline_pipeline_wall_sec",
         "value": value,
         "unit": "sec",
         "headline": headline,
@@ -204,7 +213,8 @@ def main() -> None:
         "cpus": cpus,
         "rows": rows,
         "n_points": n_points,
-        "throughput_rows_per_sec": round(work_rows / value, 1) if value else None,
+        "n_regions": n_regions,
+        "throughput_rows_per_sec": round(wrk / value, 1) if value else None,
     }
     print(json.dumps(out))
 

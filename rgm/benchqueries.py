@@ -551,13 +551,15 @@ ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
+    # CAST the window sum: DuckDB widens SUM(BIGINT) to HUGEINT, which the
+    # driver's type-sensitive hash would flag even though values are equal
     "events_window": """
         SELECT event_id, user_id,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
-               SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (
+               CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_milli
+               ) AS BIGINT) AS running_milli
         FROM events
     """,
 }

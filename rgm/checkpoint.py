@@ -64,11 +64,21 @@ class Manifest:
         return os.path.join(self.root, f"{stage}.tmp-{uuid.uuid4().hex[:8]}")
 
     def commit_stage(self, stage: str, tmp: str, metrics: dict | None = None) -> str:
-        """Atomically promote tmp dir to the stage dir and record lineage."""
+        """Atomically promote tmp dir to the stage dir and record lineage.
+
+        The old stage dir (if any) is renamed aside BEFORE the new one is
+        renamed in, then deleted — so there is no window where the stage
+        path is absent and a concurrent reader (e.g. a query racing a
+        refresh_postings compaction) fails mid-scan. Two renames instead of
+        rmtree-then-rename."""
         final = self.stage_dir(stage)
+        trash = None
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            trash = final + f".trash-{uuid.uuid4().hex[:8]}"
+            os.replace(final, trash)
         os.replace(tmp, final)
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
         files = sorted(
             os.path.relpath(os.path.join(dp, f), final)
             for dp, _, fs in os.walk(final)

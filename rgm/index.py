@@ -47,19 +47,25 @@ _LSB3 = 1 << 54
 PARENT3_EXPR = f"(cell_id & {-2 * _LSB3}) | {_LSB3}"
 
 
-def _parquet_rows(path: str) -> int:
+def _parquet_rows(path: str, spark: SparkSession | None = None) -> int:
     """Row count from parquet footers, driver-side — no Spark job.
 
     Stage commits record lineage row counts; reading ~n_buckets local
-    footers costs milliseconds vs a scheduled count() job per stage."""
+    footers costs milliseconds vs a scheduled count() job per stage.
+    Assumes a driver-visible local filesystem (the sandbox case); when the
+    glob finds nothing (HDFS/S3/object-store paths), falls back to a Spark
+    count instead of silently recording 0 rows."""
     import glob
 
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    # recursive: stages may be written with partitionBy (e.g. keys/rbucket=N/)
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if files:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if spark is not None:
+        return spark.read.parquet(path).count()
+    return 0
 
 
 def anc_lattice_sql(
@@ -217,7 +223,7 @@ def _postings_stage(spark: SparkSession, man: Manifest, n_buckets: int, codec: s
     )
     tmp = man.tmp_dir("postings")
     postings.write.mode("overwrite").option("compression", codec).parquet(tmp)
-    n = _parquet_rows(tmp)
+    n = _parquet_rows(tmp, spark)
     man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
 
 
@@ -312,7 +318,7 @@ def build_index(
         covered = pts_cov.unionByName(reg_cov)
         tmp = man.tmp_dir("covers")
         covered.write.mode("overwrite").option("compression", codec).parquet(tmp)
-        n = _parquet_rows(tmp)
+        n = _parquet_rows(tmp, spark)
         man.commit_stage("covers", tmp, {"rows": n, "secs": time.time() - t0})
     covers = spark.read.parquet(man.stage_dir("covers"))
 
@@ -353,7 +359,7 @@ def build_index(
         )
         tmp = man.tmp_dir("keys")
         keys.write.mode("overwrite").option("compression", codec).parquet(tmp)
-        n = _parquet_rows(tmp)
+        n = _parquet_rows(tmp, spark)
         man.commit_stage("keys", tmp, {"rows": n, "secs": time.time() - t0})
     keys = spark.read.parquet(man.stage_dir("keys"))
 
@@ -385,7 +391,7 @@ def build_index(
         )
         tmp = man.tmp_dir("pairs")
         pairs.write.mode("overwrite").option("compression", codec).parquet(tmp)
-        n = _parquet_rows(tmp)
+        n = _parquet_rows(tmp, spark)
         man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
 
     # -- stage 4: postings ---------------------------------------------------

@@ -26,6 +26,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)  # for `import bench` (shared work_rows formula)
 
 
 def run(sf_dir: str, cpus: int) -> dict:
@@ -73,22 +74,30 @@ def _kernel_work(n: int) -> None:
 
 
 def _merge_min(runs: list[dict]) -> dict:
-    """Per-query minimum across repetitions of one level; headline value
-    recomputed as the sum of per-query minima (drift-robust)."""
+    """Merge interleaved repetitions of one level. Reports BOTH:
+    - value_best_run: best single whole-run headline wall (a wall some run
+      actually achieved), and
+    - value (composite_min): sum of per-query minima across reps — a
+      drift-robust composite no single run achieved; labeled as such in
+      BASELINE.md. Throughput uses bench.work_rows (one shared formula).
+    """
+    import bench
+
     base = dict(runs[0])
     qmin = {}
     for q in runs[0]["queries"]:
         qmin[q] = min(r["queries"][q] for r in runs if q in r["queries"])
     base["queries"] = {k: round(v, 3) for k, v in qmin.items()}
     base["value"] = round(sum(qmin[q] for q in base["headline"] if q in qmin), 3)
-    work_rows = (
-        base["n_points"]
-        + base["rows"].get("region_index_build_50k", 0)
-        + base["rows"].get("tile_assign_s2", 0)
-        + base["rows"].get("contains_2000_caps", 0)
+    base["value_best_run"] = round(min(r["value"] for r in runs), 3)
+    wrk = bench.work_rows(
+        base["n_points"], base.get("n_regions", 0), base["rows"]
     )
     base["throughput_rows_per_sec"] = (
-        round(work_rows / base["value"], 1) if base["value"] else None
+        round(wrk / base["value"], 1) if base["value"] else None
+    )
+    base["throughput_rows_per_sec_best_run"] = (
+        round(wrk / base["value_best_run"], 1) if base["value_best_run"] else None
     )
     return base
 
@@ -110,6 +119,7 @@ def main() -> None:
     ceiling = raw_kernel_ceiling(n_low, n_high)
     ratio = n_high / n_low
     eff_total = (lo["value"] / hi["value"]) / ratio
+    eff_best_run = (lo["value_best_run"] / hi["value_best_run"]) / ratio
     # heavy-work efficiency: the stages that dominate a real 100 TB run
     heavy = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features") if q in lo["queries"]]
     t_lo_h = sum(lo["queries"][q] for q in heavy)
@@ -140,14 +150,36 @@ def main() -> None:
             "below.\n\n"
         )
         f.write("| metric | local[%d] | local[%d] |\n|---|---|---|\n" % (n_low, n_high))
-        f.write(f"| headline pipeline wall (sec) | {lo['value']} | {hi['value']} |\n")
         f.write(
-            f"| throughput (rows/sec) | {lo['throughput_rows_per_sec']} | "
+            f"| headline wall, best single run (sec) | {lo['value_best_run']} "
+            f"| {hi['value_best_run']} |\n"
+        )
+        f.write(
+            f"| headline wall, composite of per-query minima (sec) | "
+            f"{lo['value']} | {hi['value']} |\n"
+        )
+        f.write(
+            f"| throughput, best single run (rows/sec) | "
+            f"{lo['throughput_rows_per_sec_best_run']} | "
+            f"{hi['throughput_rows_per_sec_best_run']} |\n"
+        )
+        f.write(
+            f"| throughput, composite (rows/sec) | {lo['throughput_rows_per_sec']} | "
             f"{hi['throughput_rows_per_sec']} |\n"
         )
         f.write(f"| points indexed | {lo['n_points']} | {hi['n_points']} |\n\n")
         f.write(
-            f"**Scaling efficiency (headline pipeline)** = "
+            "The composite row sums per-query minima across the interleaved "
+            "reps — drift-robust but not a wall any single run achieved; the "
+            "best-single-run row is. Both are reported; efficiency is quoted "
+            "for both.\n\n"
+        )
+        f.write(
+            f"**Scaling efficiency (headline, best single run)** = "
+            f"(T{n_low}/T{n_high})/{ratio:g} = **{eff_best_run:.3f}**\n\n"
+        )
+        f.write(
+            f"**Scaling efficiency (headline, composite-min)** = "
             f"(T{n_low}/T{n_high})/{ratio:g} = **{eff_total:.3f}**\n\n"
         )
         f.write(
@@ -173,7 +205,8 @@ def main() -> None:
             "stages (index build, covering UDF, query joins) are the "
             "signal.\n"
         )
-    print(json.dumps({"eff_total": eff_total, "eff_heavy": eff_heavy, "low": lo, "high": hi}))
+    print(json.dumps({"eff_total": eff_total, "eff_best_run": eff_best_run,
+                      "eff_heavy": eff_heavy, "low": lo, "high": hi}))
     print(f"wrote {md}")
 
 
