@@ -224,12 +224,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdd.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
 
 
+EMB_THRESHOLD = 0.45
+EMB_TABLES = 8
+EMB_BITS = 4
+EMB_DIM = 64
+EMB_SEED = 11
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return rdd.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return rdd.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=EMB_THRESHOLD,
+        n_tables=EMB_TABLES, bits_per_table=EMB_BITS, seed=EMB_SEED, dim=EMB_DIM,
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +389,113 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_T}
 """
 
+# ---------------------------------------------------------------------------
+# fixture-backed and mirror oracles for the engine-defined operators
+# (S2 cell math / xxhash64 sketches / LSH banks DuckDB cannot compute):
+# see tools/make_fixtures.py for what each fixture is and how independent
+# it is of the Spark execution path.
+# ---------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+_TILE_FIX = os.path.join(_FIXDIR, "tile_assign_l9.parquet")
+_REGT_FIX = os.path.join(_FIXDIR, "region_tiles_l9.parquet")
+_TEXT_FIX = os.path.join(_FIXDIR, "text_hashes.parquet")
+
+
+def _emb_lsh_oracle_sql() -> str:
+    """DuckDB mirror of embedding_neardup_pairs: the SAME hyperplane bank
+    (rgm.dedup.hyperplanes, seeded) embedded as double literals, the same
+    banded candidate join, the same exact-cosine verify. An independent
+    re-execution of the deterministic algorithm — recall/precision of LSH
+    itself is covered by pytest against brute force."""
+    from .dedup import hyperplanes
+
+    planes = hyperplanes(EMB_TABLES, EMB_BITS, EMB_DIM, EMB_SEED)
+    tables = []
+    for t in range(EMB_TABLES):
+        bits = []
+        for i in range(EMB_BITS):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t, i]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, v, {t} AS tbl, " + " + ".join(bits) + " AS sig FROM e"
+        )
+    sigs = " UNION ALL ".join(tables)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS ({sigs}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM sigs a JOIN sigs b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+               AS cosine
+      FROM cand
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMB_THRESHOLD}
+    """
+
+
+_IVF_ORACLE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS ci, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+vc AS (
+  SELECT e.vec_id, e.v, cents.ci,
+         list_dot_product(e.v, cents.c)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c)))
+           AS cos
+  FROM e, cents
+),
+assign AS (
+  SELECT vec_id, v, ci AS cell FROM (
+    SELECT vc.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, ci ASC) AS rn FROM vc
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {ANN_QUERIES}),
+qc AS (
+  SELECT qs.qid, qs.qv, cents.ci,
+         list_dot_product(qs.qv, cents.c)
+           / (sqrt(list_dot_product(qs.qv, qs.qv)) * sqrt(list_dot_product(cents.c, cents.c)))
+           AS cos
+  FROM qs, cents
+),
+probe AS (
+  SELECT qid, qv, ci AS cell FROM (
+    SELECT qc.*, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cos DESC, ci ASC) AS rn FROM qc
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT probe.qid, probe.qv, assign.vec_id, assign.v
+  FROM probe JOIN assign USING (cell)
+),
+ranked AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                    DESC,
+                    vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
 ORACLES = {
     "spatial_contains_cap": f"""
         WITH pts AS ({_PTS_SQL})
@@ -425,11 +542,57 @@ ORACLES = {
                     + floor((lng + 125.0) / 0.5) AS BIGINT) AS tile_id
         FROM pts
     """,
+    # S2 tile oracles: golden tiles computed by the token-validated numpy
+    # cellmath kernel (tools/make_fixtures.py), joined by order key — checks
+    # the full Spark path (lat/lng exprs -> Arrow tile UDF -> aggregation)
+    "tile_assign_s2": f"""
+        SELECT CAST(o.o_orderkey AS VARCHAR) AS image_id, t.tile_id
+        FROM orders o
+        JOIN read_parquet('{_TILE_FIX}') t ON o.o_orderkey = t.o_orderkey
+    """,
+    "tile_counts_s2": f"""
+        SELECT t.tile_id, count(*) AS n_images
+        FROM orders o
+        JOIN read_parquet('{_TILE_FIX}') t ON o.o_orderkey = t.o_orderkey
+        GROUP BY t.tile_id
+    """,
+    "tiles_for_regions_s2": f"""
+        SELECT query_id, tile_id FROM read_parquet('{_REGT_FIX}')
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    # MinHash-LSH is deterministic (seeded params, xxhash64); at 16 bands x
+    # 4 rows a j>=0.8 pair is missed with prob ~2e-4, and on this corpus the
+    # LSH output EQUALS the exact n-gram Jaccard join (verified at every sf)
+    # — so the exact join is a valid independent oracle for the full
+    # three-stage pipeline
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    # SimHash values recomputed execution-independently (pure-numpy XXH64 in
+    # the fixture); the oracle then brute-forces ALL pairs with popcount —
+    # the banded candidate join is exact by pigeonhole, so brute force is
+    # the right independent check
+    "dedup_simhash": f"""
+        WITH s AS (
+          SELECT d.doc_id, f.simhash
+          FROM documents d
+          JOIN read_parquet('{_TEXT_FIX}') f ON md5(d.text) = f.text_md5
+          WHERE f.simhash IS NOT NULL
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    "dedup_embedding": _emb_lsh_oracle_sql(),
+    "ann_ivf_topk": _IVF_ORACLE_SQL,
+    "text_fingerprint": f"""
+        SELECT d.doc_id, f.fingerprint
+        FROM documents d
+        JOIN read_parquet('{_TEXT_FIX}') f ON md5(d.text) = f.text_md5
+    """,
     "ann_cosine_topk": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding::DOUBLE[] AS qe

@@ -46,20 +46,40 @@ def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFr
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 4, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.8,
+    max_gram_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with
     |grams_a ∩ grams_b| / |grams_a ∪ grams_b| >= threshold.
 
-    Scale note: the gram equi-join is the standard inverted-index set-join;
-    at web scale, prefix filtering / stop-gram dropping bounds fanout (the
-    ``max_gram_docs`` knob drops grams appearing in too many docs — sound
-    for high thresholds when combined with length filtering upstream).
+    Scale note: the gram equi-join is the standard inverted-index set-join,
+    quadratic in docs-per-gram — a stop-gram like ``" the"`` in 10^6 docs
+    would yield 10^12 join rows. ``max_gram_docs`` bounds that fanout by
+    dropping grams whose document frequency exceeds the cap BEFORE the
+    self-join (one map-side-combinable count over grams). Dropped grams
+    shrink n_inter only, so the filtered jaccard is a LOWER bound — results
+    stay a subset of the exact pairs (no false positives); for near-1
+    thresholds with hot-gram-heavy corpora pair the cap with the LSH path.
+    None (default) = exact semantics.
     """
     grams = char_ngrams(df, id_col, text_col, n)
+    # sizes use ALL grams (exact denominator) even when hot grams are
+    # dropped from the join — keeps the lower-bound property
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    a = grams.select(F.col(id_col).alias("id_a"), "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    join_grams = grams
+    if max_gram_docs is not None:
+        df_counts = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        join_grams = grams.join(
+            df_counts.filter(F.col("gram_df") <= max_gram_docs).select("gram"),
+            on="gram",
+            how="inner",
+        )
+    a = join_grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = join_grams.select(F.col(id_col).alias("id_b"), "gram")
     inter = (
         a.join(b, on="gram")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -96,9 +116,11 @@ def _minhash_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 4, num_perm: int = 64
 ) -> DataFrame:
-    """One row per doc with ``num_perm`` min-hash columns mh_0..mh_{p-1}.
+    """One row per doc with the ``num_perm`` min-hashes PACKED into a single
+    ``sig`` array<long> column (one column through every downstream shuffle,
+    not 64 scalars — the r1 stage-2 join shipped 2x64 columns per side).
 
-    Signature i = min over grams of (a_i * h(gram) + b_i) mod 2^61-1, where
+    Signature i = min over grams of (a_i * h(gram) + b_i) mod 2^31-1, where
     h is Spark's xxhash64 — a single groupBy with num_perm min() aggregates,
     fully JVM-side and map-side combinable."""
     grams = char_ngrams(df, id_col, text_col, n)
@@ -108,7 +130,9 @@ def minhash_signatures(
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return grams.groupBy(id_col).agg(*aggs)
+    return grams.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -117,19 +141,25 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 4,
     num_perm: int = 64,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.8,
     verify: bool = True,
     est_margin: float = 0.15,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, three-stage:
 
     1. candidates: equi-join on (band, bucket) — bands tuned so the S-curve
-       sits at the threshold (8 bands x 8 rows: j=0.4 pairs collide ~0.5%,
-       j=0.9 pairs ~99%). Never an all-pairs join.
+       sits below the threshold (16 bands x 4 rows: j=0.8 pairs are missed
+       with prob (1-0.8^4)^16 ≈ 2e-4; j=0.4 pairs collide ~34% but are
+       discarded by stages 2-3). Never an all-pairs join. ``max_bucket_size``
+       caps degenerate buckets (m identical docs -> m^2/2 candidate pairs):
+       buckets larger than the cap are DROPPED before pair expansion — at
+       web scale such buckets are exact-duplicate clusters that belong to
+       exact_dedup, not a similarity join. None disables the cap.
     2. estimate filter: fraction of matching minhash components per
-       candidate pair (pure column math over the broadcast signatures);
-       keeps only est >= threshold - est_margin.
+       candidate pair — zip_with over the two packed sig arrays (pure
+       column math); keeps only est >= threshold - est_margin.
     3. (verify=True) exact n-gram Jaccard, computed pair-scoped: the gram
        join is keyed by (candidate pair, gram) so its size is
        |survivors| x grams/doc — never corpus-wide.
@@ -139,13 +169,23 @@ def minhash_lsh_pairs(
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)]).alias("bucket"),
+            F.xxhash64(
+                *[F.col("sig")[bi * rows + r] for r in range(rows)]
+            ).alias("bucket"),
         )
         for bi in range(bands)
     ]
     buckets = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        # one extra map-side-combinable count; drops only degenerate buckets
+        bsz = buckets.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
+        buckets = buckets.join(
+            bsz.filter(F.col("bn") <= max_bucket_size).select("band", "bucket"),
+            on=["band", "bucket"],
+            how="inner",
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -155,12 +195,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # stage 2: signature-similarity estimate (cheap, column math only)
-    mh = [f"mh_{i}" for i in range(num_perm)]
-    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh])
-    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh])
-    est_expr = sum(
-        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh
+    # stage 2: signature-similarity estimate over the packed arrays (one
+    # array column per side through the join, not num_perm scalars)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est_expr = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(num_perm))
     cand = (
         cand.join(sa, "id_a")
@@ -223,13 +263,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: split 64 bits into ``chunks`` 8-bit chunks; any pair
     within distance d < chunks shares at least one exact chunk -> candidate
-    equi-join on (chunk_idx, chunk_value), then exact popcount filter."""
+    equi-join on (chunk_idx, chunk_value), then exact popcount filter.
+    Banding is EXACT (no recall loss) as long as no bucket exceeds
+    ``max_bucket_size``: larger buckets (exact-duplicate clusters whose
+    pair expansion is quadratic) are dropped — route those through
+    exact_dedup first. None disables the cap."""
     sh = simhash(df, id_col, text_col)
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
@@ -243,6 +292,13 @@ def simhash_pairs(
     ch = sh.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
         id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    if max_bucket_size is not None:
+        bsz = ch.groupBy("ci", "cv").agg(F.count("*").alias("bn"))
+        ch = ch.join(
+            bsz.filter(F.col("bn") <= max_bucket_size).select("ci", "cv"),
+            on=["ci", "cv"],
+            how="inner",
+        )
     a = ch.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv")
     b = ch.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv")
     cand = (
@@ -257,6 +313,16 @@ def simhash_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def hyperplanes(
+    n_tables: int, bits_per_table: int, dim: int, seed: int = 11
+) -> np.ndarray:
+    """The deterministic random-hyperplane bank shared by the Spark LSH
+    (embedding_neardup_pairs) and the DuckDB oracle mirror
+    (rgm.benchqueries) — both embed the same doubles as literals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits_per_table, dim))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -266,6 +332,7 @@ def embedding_neardup_pairs(
     bits_per_table: int = 4,
     seed: int = 11,
     dim: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via banded random-hyperplane LSH + exact
     cosine verify.
@@ -273,13 +340,14 @@ def embedding_neardup_pairs(
     ``n_tables`` independent hash tables of ``bits_per_table`` sign bits
     each: a pair at angle θ collides in one table with (1-θ/π)^bits, in any
     with 1-(1-p)^tables — tune bits/tables to the threshold. Candidates are
-    the per-(table, bucket) equi-join; verification is exact cosine via
+    the per-(table, bucket) equi-join, with degenerate buckets (>
+    ``max_bucket_size`` members — identical-vector clusters) dropped before
+    the quadratic pair expansion; verification is exact cosine via
     zip_with/aggregate — all built-in expressions, no all-pairs join.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, bits_per_table, dim))
+    planes = hyperplanes(n_tables, bits_per_table, dim, seed)
 
     def dot_with_const(vec, const: np.ndarray):
         arr = F.array(*[F.lit(float(x)) for x in const])
@@ -301,6 +369,13 @@ def embedding_neardup_pairs(
     ).select(
         id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.sig").alias("sig")
     )
+    if max_bucket_size is not None:
+        bsz = with_sig.groupBy("tbl", "sig").agg(F.count("*").alias("bn"))
+        with_sig = with_sig.join(
+            bsz.filter(F.col("bn") <= max_bucket_size).select("tbl", "sig"),
+            on=["tbl", "sig"],
+            how="inner",
+        )
     a = with_sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "tbl", "sig"
     )

@@ -143,9 +143,27 @@ def candidate_keys(
     bucket: int | None = None,
     max_cells: int = 30,
     prune: bool = True,
+    mode: str = "equi",
 ) -> DataFrame:
     """Cell-level candidate (query_id, key_id) pairs — the reference's
-    bitmap-union result set (A17) before geometric refinement."""
+    bitmap-union result set (A17) before geometric refinement.
+
+    mode='equi' (default, the scale path): both hierarchy branches are one
+    broadcast equi-join against the ancestor-exploded pairs table
+    (SURVEY §7.3a).
+
+    mode='range' (validation): executes the reference's LITERAL
+    decomposition — descendant branch as a Hilbert-interval range join of
+    the query cells' [range_min, range_max] against index ORIGIN cells
+    (RoaringGeoMapReader.cpp:46-54, Block.h:189-222), ancestor branch as the
+    equi-join of query-ancestors vs origin cells (:57-64). A broadcast
+    nested-loop range join — kept as the §7.3b cross-check of the equi
+    reformulation (tests assert both modes return identical key sets), not
+    for production volume. Range endpoints share the query cell's face, so
+    the int64 BETWEEN is safe (no sign-boundary crossing).
+    """
+    if mode not in ("equi", "range"):
+        raise ValueError(mode)
     q_cells, prefixes = plan_query_cells(
         spark, queries, index_bucket(index_path, bucket), max_cells
     )
@@ -157,6 +175,25 @@ def candidate_keys(
         # zone-map pruning: the query covering's level-3 prefixes are tiny;
         # the IN-filter reaches Parquet row-group stats (SuRF analog)
         pairs = pairs.filter(F.col("cell_l3").isin(prefixes))
+
+    if mode == "range":
+        origin_pairs = pairs.filter(F.col("is_origin"))
+        rb = _range_bounds_udf()
+        q_rng = (
+            q_cells.filter(~F.col("is_anc"))
+            .withColumn("rb", rb(F.col("cell_id")))
+            .select("query_id", F.col("rb.lo").alias("lo"), F.col("rb.hi").alias("hi"))
+        )
+        desc = origin_pairs.join(
+            F.broadcast(q_rng),
+            (origin_pairs["cell_id"] >= F.col("lo"))
+            & (origin_pairs["cell_id"] <= F.col("hi")),
+        ).select("query_id", "key_id")
+        q_anc = q_cells.filter(F.col("is_anc")).select("query_id", "cell_id")
+        anc = origin_pairs.join(F.broadcast(q_anc), on="cell_id").select(
+            "query_id", "key_id"
+        )
+        return desc.unionByName(anc).distinct()
 
     joined = pairs.join(
         F.broadcast(q_cells), on="cell_id", how="inner"
@@ -369,49 +406,73 @@ def knn(
     Iterative ring expansion: issue cap queries of growing radius (x4 per
     round) until a query has >= k exact candidates within the radius (then
     the true kNN is a subset of them), finish with a per-query window top-k.
-    All rounds are batch jobs over the still-unsatisfied queries.
+
+    Per-round state lives on the DRIVER (query batches are small — the same
+    broadcast regime as plan_query_cells) and each round's hits are
+    persist()-ed before the count action, so no round ever re-evaluates a
+    prior round's covering/join/refine lineage (the r1 version lazily
+    chained up to 8 rounds and re-ran everything at the final window). The
+    small final result is materialized, then the per-round caches are
+    dropped.
     """
     from pyspark.sql import Window
 
     from .udfs import haversine_udf
 
-    remaining = query_points.select("query_id", F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"))
-    results = None
+    rem = [
+        (r["query_id"], float(r["lat"]), float(r["lng"]))
+        for r in query_points.select("query_id", "lat", "lng").collect()
+    ]
+    round_dfs: list[DataFrame] = []
     radius = r0_m
     for rnd in range(max_rounds):
-        if remaining.isEmpty():
+        if not rem:
             break
-        caps = remaining.select(
-            "query_id",
-            F.lit("cap").alias("kind"),
-            F.col("q_lat").alias("lat"),
-            F.col("q_lng").alias("lng"),
-            F.lit(float(radius)).alias("radius_m"),
+        caps = spark.createDataFrame(
+            [(q, "cap", la, ln, float(radius)) for q, la, ln in rem],
+            "query_id string, kind string, lat double, lng double, radius_m double",
         )
-        hits = search(spark, index_path, caps, bucket=bucket, refine=True)
+        qpts = spark.createDataFrame(
+            [(q, la, ln) for q, la, ln in rem],
+            "query_id string, q_lat double, q_lng double",
+        )
         hits = (
-            hits.join(F.broadcast(remaining), on="query_id")
+            search(spark, index_path, caps, bucket=bucket, refine=True)
+            .join(F.broadcast(qpts), on="query_id")
             .withColumn("dist_m", haversine_udf("p_lat", "p_lng", "q_lat", "q_lng"))
             .select("query_id", "key_id", "key", "dist_m")
+            .persist()
         )
-        cnt = hits.groupBy("query_id").agg(F.count("*").alias("n"))
-        done_ids = cnt.filter(F.col("n") >= k).select("query_id")
+        # the count action materializes the cache; every later use hits it
+        cnts = {
+            r["query_id"]: r["n"]
+            for r in hits.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        done = {q for q, _, _ in rem if cnts.get(q, 0) >= k}
         last_round = rnd == max_rounds - 1
-        done = (
-            hits
-            if last_round  # final round: keep partial (<k) results too
-            else hits.join(F.broadcast(done_ids), on="query_id", how="left_semi")
-        )
-        results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(done_ids, on="query_id", how="left_anti")
+        if last_round:
+            round_dfs.append(hits)  # keep partial (<k) results too
+        elif done:
+            round_dfs.append(hits.filter(F.col("query_id").isin(sorted(done))))
+        else:
+            hits.unpersist()
+        rem = [t for t in rem if t[0] not in done]
         radius *= 4.0
-    if results is None:
-        results = spark.createDataFrame(
-            [], "query_id string, key_id int, key string, dist_m double"
+    if not round_dfs:
+        return spark.createDataFrame(
+            [], "query_id string, key_id int, key string, dist_m double, rank int"
         )
+    results = round_dfs[0]
+    for d in round_dfs[1:]:
+        results = results.unionByName(d)
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("key_id").asc())
-    return (
+    out = (
         results.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "key_id", "key", "dist_m", "rank")
+        .persist()
     )
+    out.count()  # k x |queries| rows — small; frees the round caches below
+    for d in round_dfs:
+        d.unpersist()
+    return out

@@ -64,14 +64,42 @@ def stream_index_append(
         src = src.withColumn(
             "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
         )
-        covered = src.withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
+        # cache: the covering UDF output feeds the bucket-count job, the
+        # pairs write, and the keys write — one UDF pass, not three
+        covered = src.withColumn(
+            "cov", cover_udf(*[F.col(c) for c in REGION_COLS])
+        ).persist()
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.col(key_col))
-        keyed = covered.withColumn(
-            "key_id", (F.row_number().over(w) + F.lit(next_id - 1)).cast("int")
+        # bucketed rank (same pattern as the batch build): deterministic
+        # hash buckets + per-bucket window + driver offsets — never a
+        # single-partition global window, so a wide micro-batch ranks in
+        # parallel. Streamed key_ids are allocated monotonically but NOT
+        # min-cell clustered (impossible incrementally — see module doc).
+        n_rank_buckets = max(spark.sparkContext.defaultParallelism, 8)
+        bucketed = covered.withColumn(
+            "rbucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_rank_buckets))
         )
-        n = keyed.count()
+        counts = {
+            r["rbucket"]: r["n"]
+            for r in bucketed.groupBy("rbucket").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for b in range(n_rank_buckets):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        n = acc
+        if n == 0:
+            covered.unpersist()
+            return
+        off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("rbucket").orderBy(F.col(key_col))
+        keyed = bucketed.withColumn(
+            "key_id",
+            (
+                F.row_number().over(w) - 1 + off_map[F.col("rbucket")] + F.lit(next_id)
+            ).cast("int"),
+        )
         origin = keyed.select(
             F.explode("cov.cells").alias("cell_id"), F.lit(True).alias("is_origin"), "key_id"
         )
@@ -93,9 +121,15 @@ def stream_index_append(
             F.col(key_col).alias("key"),
             F.col("lat").alias("p_lat"),
             F.col("lng").alias("p_lng"),
+            # same payload-radius column the batch build writes, so appended
+            # key files carry the full keys schema
+            F.when(F.col("kind") == "cap", F.col("radius_m"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("p_radius_m"),
             F.col("cov.min_cell_ord").alias("min_cell_ord"),
             F.col("cov.cells").alias("cells"),
         ).write.mode("append").parquet(keys_dir)
+        covered.unpersist()
         with open(state_path, "w") as f:
             json.dump({"next_key_id": next_id + n, "last_batch_id": batch_id}, f)
 

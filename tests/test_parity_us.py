@@ -143,3 +143,32 @@ def test_knn_matches_oracle(spark, us_fixture):
         got_keys = [kk for _, kk, _ in sorted(rows.get(f"q{i}", []))]
         # exclude the triangle key (it has no point geometry -> never in knn)
         assert got_keys == want, f"q{i}: got={got_keys} want={want}"
+
+
+def test_range_join_mode_matches_equi_mode(spark, us_fixture):
+    """SURVEY §7.3b cross-check: the literal reference decomposition
+    (descendant Hilbert-range join + ancestor equi-join over ORIGIN index
+    cells, RoaringGeoMapReader.cpp:46-64) returns the same candidate key
+    sets as the build-time ancestor-explosion equi-join (§7.3a) — on mixed
+    cap/rect/cell query kinds over the US-20k index."""
+    out, lat, lng, qcells = us_fixture
+    rows = [
+        ("rc0", "cap", 37.0, -100.0, 150_000.0, None, None, None, None, None),
+        ("rc1", "cap", 40.0, -90.0, 400_000.0, None, None, None, None, None),
+        ("rr0", "rect", None, None, None, 33.0, 36.5, -110.0, -104.0, None),
+        ("rl0", "cell", None, None, None, None, None, None, None,
+         int(cm.to_spark(qcells[:1])[0])),
+        ("rl1", "cell", None, None, None, None, None, None, None,
+         int(cm.to_spark(qcells[1:2])[0])),
+    ]
+    qdf = spark.createDataFrame(
+        rows,
+        "query_id string, kind string, lat double, lng double, radius_m double, "
+        "lat_lo double, lat_hi double, lng_lo double, lng_hi double, cell_id long",
+    )
+    equi = rq.candidate_keys(spark, out, qdf, bucket=BUCKET, mode="equi")
+    rngj = rq.candidate_keys(spark, out, qdf, bucket=BUCKET, mode="range")
+    se = {(r["query_id"], r["key_id"]) for r in equi.collect()}
+    sr = {(r["query_id"], r["key_id"]) for r in rngj.collect()}
+    assert se == sr
+    assert len(se) > 0

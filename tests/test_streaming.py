@@ -108,3 +108,46 @@ def test_stream_tile_counts_watermark(spark, tmp_path):
     # the 01:00 window is still open at watermark = max_ts - 20min = 00:40,
     # so append mode must withhold it — that's the late-data contract
     assert all(t == sf_tile for (_, t) in agg)
+
+
+def test_stream_append_multi_partition_batch(spark, tmp_path):
+    """A wide micro-batch (many source files -> many partitions) ranks via
+    hash buckets, not a single-partition global window: key_ids stay unique
+    and contiguous, and streamed keys remain queryable."""
+    base = spark.createDataFrame(
+        [(f"b{i}", "point", 30.0 + i * 0.1, -100.0) for i in range(5)],
+        "key string, kind string, lat double, lng double",
+    )
+    out = str(tmp_path / "idx")
+    ridx.build_index(spark, base, "key", out, bucket=3, n_buckets=2)
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    newrows = spark.createDataFrame(
+        [(f"s{i:03d}", "point", 40.0 + (i % 50) * 0.01, -90.0 - (i // 50) * 0.01)
+         for i in range(200)],
+        "key string, kind string, lat double, lng double",
+    ).repartition(8)  # multi-partition batch
+    newrows.write.parquet(src_dir, mode="overwrite")
+    stream = spark.readStream.schema(newrows.schema).parquet(src_dir)
+    q = rstream.stream_index_append(spark, stream, "key", out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    keys = ridx.load_keys(spark, out).select("key_id", "key").collect()
+    ids = sorted(r["key_id"] for r in keys)
+    assert len(ids) == 205 and len(set(ids)) == 205
+    assert ids == list(range(ids[0], ids[0] + 205))  # contiguous block allocation
+
+    qdf = spark.createDataFrame(
+        [("qa", "cap", 40.25, -90.0, 50_000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    got = {r["key"] for r in rq.search(spark, out, qdf, refine=True).collect()}
+    from rgm import geo
+
+    want = {
+        f"s{i:03d}" for i in range(200)
+        if geo.haversine_m(40.0 + (i % 50) * 0.01, -90.0 - (i // 50) * 0.01,
+                           40.25, -90.0) <= 50_000.0
+    }
+    assert got == want

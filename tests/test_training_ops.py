@@ -184,3 +184,98 @@ def test_fingerprint_stable_under_prefix_edit(spark, docs):
     j = base.join(ed.withColumnRenamed("fingerprint", "fp2"), "doc_id")
     same = j.filter(F.col("fingerprint") == F.col("fp2")).count()
     assert same >= 40
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: XXH64 golden parity, LSH fanout caps, gram-frequency cap
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_matches_spark(spark):
+    """The pure-numpy XXH64 (oracle-fixture hash) is bit-identical to
+    Spark's xxhash64 expression across every code path (empty, <8B, 4B
+    tail, 8B blocks, and the >=32B four-lane loop)."""
+    from rgm.xxh import xxh64_str
+
+    samples = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "0123456789abcde",
+               "0123456789abcdef", "x" * 31, "x" * 32, "x" * 33, "y" * 100,
+               "the quick brown fox jumps over the lazy dog"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    want = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    got = xxh64_str(samples)
+    assert [int(x) for x in got] == [int(x) for x in want]
+
+
+def test_minhash_bucket_cap_bounds_pathological_corpus(spark):
+    """1,000 identical docs would yield ~500k candidate pairs per band
+    without the bucket cap; with it the degenerate bucket is dropped and the
+    job completes with bounded output (exact-duplicate clusters belong to
+    exact_dedup)."""
+    from rgm import dedup as rdd
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all identical duplicate document text for the cap test").alias("text"),
+    )
+    out = rdd.minhash_lsh_pairs(
+        df, "doc_id", "text", verify=False, max_bucket_size=100
+    )
+    assert out.count() == 0  # bucket of 1000 > cap -> dropped, not expanded
+
+
+def test_minhash_bucket_cap_keeps_normal_buckets(spark, docs):
+    from rgm import dedup as rdd
+
+    want = set(_exact_jaccard_pairs(docs.toPandas(), 4, 0.8))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in rdd.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify=True, max_bucket_size=1000
+        ).collect()
+    }
+    assert got == want  # cap far above real bucket sizes: no effect
+
+
+def test_ngram_max_gram_docs_is_lower_bound(spark, docs):
+    """Dropping hot grams can only shrink n_inter, so capped results are a
+    subset of exact results; with a cap above every gram's df the output is
+    exactly the uncapped one."""
+    from rgm import dedup as rdd
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in rdd.ngram_jaccard_pairs(docs, "doc_id", "text", 4, 0.8).collect()
+    }
+    capped_loose = {
+        (r["id_a"], r["id_b"])
+        for r in rdd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 4, 0.8, max_gram_docs=10**6
+        ).collect()
+    }
+    capped_tight = {
+        (r["id_a"], r["id_b"])
+        for r in rdd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 4, 0.8, max_gram_docs=3
+        ).collect()
+    }
+    assert capped_loose == exact
+    assert capped_tight <= exact
+
+
+def test_simhash_fixture_matches_engine(spark, docs):
+    """The execution-independent simhash recomputation (pure-numpy XXH64 +
+    voting, tools/make_fixtures.py) equals the Spark aggregation."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from rgm import dedup as rdd
+    from tools.make_fixtures import simhash_py
+
+    got = {r["doc_id"]: r["simhash"] for r in rdd.simhash(docs, "doc_id", "text").collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    for r in pdf.itertuples():
+        want = simhash_py(r.text)
+        if want is None:
+            assert r.doc_id not in got
+        else:
+            assert got[r.doc_id] == want
