@@ -111,6 +111,21 @@ def _ensure_region_cols(df: DataFrame) -> DataFrame:
     return df
 
 
+def _bloom_opts(man: Manifest) -> dict[str, str]:
+    """Parquet bloom filter on cell_id for the index tables — the exact-cell
+    membership analog of the reference's SuRF point probe
+    (cpp/src/CellFilter.cpp:36-38): within a coarse cell_l3 zone that holds
+    many row groups, a point/IN probe can skip row groups whose bloom says
+    the cell is absent, beyond what min/max stats prune. Expected NDV is
+    sized from the covers row count (cells-per-key ~ O(10))."""
+    rows = man.doc["stages"].get("covers", {}).get("metrics", {}).get("rows", 0)
+    ndv = min(max(int(rows) * 2, 1024), 8_000_000)
+    return {
+        "parquet.bloom.filter.enabled#cell_id": "true",
+        "parquet.bloom.filter.expected.ndv#cell_id": str(ndv),
+    }
+
+
 def _postings_stage(spark: SparkSession, man: Manifest, n_buckets: int, codec: str) -> None:
     """Stage 4: roaring posting lists from the current ``pairs`` table.
 
@@ -222,7 +237,9 @@ def _postings_stage(spark: SparkSession, man: Manifest, n_buckets: int, codec: s
         .sortWithinPartitions("cell_id")
     )
     tmp = man.tmp_dir("postings")
-    postings.write.mode("overwrite").option("compression", codec).parquet(tmp)
+    postings.write.mode("overwrite").option("compression", codec).options(
+        **_bloom_opts(man)
+    ).parquet(tmp)
     n = _parquet_rows(tmp, spark)
     man.commit_stage("postings", tmp, {"rows": n, "secs": time.time() - t0})
 
@@ -316,28 +333,56 @@ def build_index(
             )
         )
         covered = pts_cov.unionByName(reg_cov)
+        # piggyback the keys-stage range-bucket boundaries onto THIS job via
+        # observe(): approx quantiles of min_cell_ord are collected while the
+        # covers write runs, so the keys stage never re-scans for them (the
+        # r1 approxQuantile pass was one of the flat per-build job costs)
+        from pyspark.sql import Observation
+
+        n_rank_buckets = 4 * n_buckets  # 4x smooths hash-placement imbalance
+        obs = Observation("cover_stats")
+        qs = [i / n_rank_buckets for i in range(1, n_rank_buckets)]
+        covered = covered.observe(
+            obs,
+            F.approx_percentile(
+                "min_cell_ord", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+            ).alias("rank_bounds"),
+        )
         tmp = man.tmp_dir("covers")
         covered.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = _parquet_rows(tmp, spark)
-        man.commit_stage("covers", tmp, {"rows": n, "secs": time.time() - t0})
+        bounds = sorted(set(int(b) for b in (obs.get["rank_bounds"] or [])))
+        man.commit_stage(
+            "covers", tmp,
+            {"rows": n, "secs": time.time() - t0, "rank_bounds": bounds},
+        )
     covers = spark.read.parquet(man.stage_dir("covers"))
 
     # -- stage 2: keys (dense rank in (min_cell_ord, key) order) ------------
+    # Range buckets come from the covers-job observe() (manifest metrics);
+    # this stage is two jobs: a slim per-bucket count (reads ONLY the
+    # min_cell_ord column thanks to parquet pruning) and the rank+write.
+    # The r1 version spent a third full approxQuantile scan here.
+    bounds = man.doc["stages"].get("covers", {}).get("metrics", {}).get("rank_bounds")
+    if bounds is None:
+        # resumed from a pre-observe manifest: fall back to one quantile job
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(covers.stat.approxQuantile("min_cell_ord", qs, 0.001)))
+
+    def _rbucket_expr() -> F.Column:
+        if not bounds:
+            return F.lit(0)
+        arr = ",".join(str(int(b)) + "L" for b in bounds)
+        return F.expr(
+            f"aggregate(array({arr}), 0, "
+            f"(acc, b) -> acc + if(min_cell_ord > b, 1, 0))"
+        )
+
     if not (resume and man.is_committed("keys")):
         t0 = time.time()
-        # deterministic range buckets from one quantile pass (no sampled
-        # shuffle boundaries that could drift between jobs)
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = covers.stat.approxQuantile("min_cell_ord", qs, 0.001)
-        bounds = sorted(set(bounds))
-        bucket_expr = F.lit(0)
-        for i, b in enumerate(bounds):
-            bucket_expr = F.when(F.col("min_cell_ord") > F.lit(b), i + 1).otherwise(
-                bucket_expr
-            )
         from pyspark.sql import Window
 
-        bucketed = covers.withColumn("rbucket", bucket_expr)
+        bucketed = covers.withColumn("rbucket", _rbucket_expr())
         counts = {
             r["rbucket"]: r["n"]
             for r in bucketed.groupBy("rbucket").agg(F.count("*").alias("n")).collect()
@@ -352,7 +397,7 @@ def build_index(
         )
         w = Window.partitionBy("rbucket").orderBy("min_cell_ord", "key")
         keys = (
-            bucketed.repartition(max(len(bounds) + 1, 1), "rbucket")
+            bucketed.repartition(n_buckets, "rbucket")
             .withColumn("rn", F.row_number().over(w) - 1)
             .withColumn("key_id", (F.col("rn") + off_map[F.col("rbucket")]).cast("int"))
             .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells")
@@ -367,13 +412,19 @@ def build_index(
     if not (resume and man.is_committed("pairs")):
         t0 = time.time()
         # The exploded pairs (10x the key count) are NEVER shuffled: the
-        # small keys table is range-shuffled on min_cell_ord first, and the
-        # spatial-locality clustering (a key's cover cells and their lattice
-        # ancestors are numerically near its min cell) makes each partition's
-        # exploded cell_ids a tight range already — an in-partition sort then
-        # yields cell-sorted files with tight row-group min/max stats (the
-        # reference's block-max index) at zero big-data shuffle cost.
-        src_keys = keys.repartitionByRange(n_buckets, "min_cell_ord", "key")
+        # small keys table is shuffled by its deterministic range bucket
+        # (the covers-observe bounds — no repartitionByRange sampling job),
+        # and the spatial-locality clustering (a key's cover cells and their
+        # lattice ancestors are numerically near its min cell) makes each
+        # partition's exploded cell_ids a few tight ranges — an in-partition
+        # sort then yields cell-sorted files with tight row-group min/max
+        # stats (the reference's block-max index) at zero big-data shuffle
+        # cost.
+        src_keys = (
+            keys.withColumn("rbucket", _rbucket_expr())
+            .repartition(n_buckets, "rbucket")
+            .drop("rbucket")
+        )
         # one projection emits origin cells and (per-key-deduped) lattice
         # ancestors together — single scan, single explode
         both = (
@@ -390,7 +441,9 @@ def build_index(
             .sortWithinPartitions("cell_id", "key_id")
         )
         tmp = man.tmp_dir("pairs")
-        pairs.write.mode("overwrite").option("compression", codec).parquet(tmp)
+        pairs.write.mode("overwrite").option("compression", codec).options(
+            **_bloom_opts(man)
+        ).parquet(tmp)
         n = _parquet_rows(tmp, spark)
         man.commit_stage("pairs", tmp, {"rows": n, "secs": time.time() - t0})
 

@@ -459,8 +459,14 @@ def knn(
         rem = [t for t in rem if t[0] not in done]
         radius *= 4.0
     if not round_dfs:
-        return spark.createDataFrame(
-            [], "query_id string, key_id int, key string, dist_m double, rank int"
+        # empty result typed from the index's actual key column (keys may be
+        # string OR arbitrary bytes — reference README.md:5-11)
+        keys0 = load_keys(spark, index_path).select("key_id", "key").limit(0)
+        return (
+            keys0.withColumn("query_id", F.lit(None).cast("string"))
+            .withColumn("dist_m", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .select("query_id", "key_id", "key", "dist_m", "rank")
         )
     results = round_dfs[0]
     for d in round_dfs[1:]:

@@ -244,3 +244,50 @@ def test_hot_cell_skew_postings(spark, tmp_path_factory):
     assert keys == sorted(f"k{i}" for i in range(n))
     cnt = rq.count_keys(spark, out, q).collect()
     assert cnt[0]["n_keys"] == n
+
+
+def test_binary_keys_roundtrip(spark, tmp_path):
+    """Reference keys are arbitrary byte sequences (README.md:5-11,
+    RoaringGeoMapWriter.h:44); the engine must index and return BinaryType
+    keys unchanged — build, search, count, and kNN all typed from the key
+    column."""
+    rows = [
+        (bytes([i, 255 - i, 0, 7]) + b"\x00payload", 30.0 + i * 0.5, -100.0 + i * 0.5)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(k, "point", la, ln) for k, la, ln in rows],
+        "key binary, kind string, lat double, lng double",
+    )
+    out = str(tmp_path / "binidx")
+    ridx.build_index(spark, df, "key", out, bucket=3, n_buckets=2)
+
+    keys = ridx.load_keys(spark, out)
+    assert dict(keys.dtypes)["key"] == "binary"
+    got_keys = {bytes(r["key"]) for r in keys.collect()}
+    assert got_keys == {k for k, _, _ in rows}
+
+    qdf = spark.createDataFrame(
+        [("qa", "cap", 31.0, -99.0, 200_000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    hits = rq.search(spark, out, qdf, refine=True).collect()
+    from rgm import geo
+
+    want = {
+        k for k, la, ln in rows if geo.haversine_m(la, ln, 31.0, -99.0) <= 200_000.0
+    }
+    assert {bytes(r["key"]) for r in hits} == want and len(want) > 0
+
+    knn = rq.knn(
+        spark,
+        out,
+        spark.createDataFrame([("k0", 31.0, -99.0)], "query_id string, lat double, lng double"),
+        k=3,
+        r0_m=50_000,
+    ).collect()
+    assert len(knn) == 3 and all(isinstance(bytes(r["key"]), bytes) for r in knn)
+    # count_keys is the bitmap-union CANDIDATE count (refine=False level)
+    cnt = rq.count_keys(spark, out, qdf).collect()
+    n_cand = rq.search(spark, out, qdf, refine=False).select("key_id").distinct().count()
+    assert cnt[0]["n_keys"] == n_cand >= len(want)
