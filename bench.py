@@ -169,6 +169,21 @@ def main() -> None:
     timed("contains_polygon", lambda: _count(bq.q_spatial_contains_polygon(spark, sf_dir)))
     timed("knn", lambda: _count(bq.q_spatial_knn(spark, sf_dir)))
 
+    # 200-point kNN batch: shows the per-round persist win (the r1 lazy
+    # ring-expansion re-ran prior rounds' lineage, which compounds with
+    # query count); not in the headline to keep r1 comparability
+    def knn_200():
+        qpts = spark.range(200).select(
+            F.concat(F.lit("k"), F.col("id")).alias("query_id"),
+            (F.lit(24.396308) + (F.col("id") * 86243 % 100000) / 100000.0 * (49.384358 - 24.396308)).alias("lat"),
+            (F.lit(-125.0) + (F.col("id") * 75979 % 100000) / 100000.0 * (-66.93457 - -125.0)).alias("lng"),
+        )
+        import rgm.query as rq_
+
+        return _count(rq_.knn(spark, idx_path, qpts, k=10, r0_m=20_000))
+
+    timed("knn_200", knn_200)
+
     # -- tile assignment (the raster<->vector pass) ---------------------------
     timed("tile_assign_s2", lambda: _count(bq.q_tile_assign_s2(spark, sf_dir)))
     timed("tile_counts_s2", lambda: _count(bq.q_tile_counts_s2(spark, sf_dir)))

@@ -203,3 +203,66 @@ def rect_inside_polygon(
         r1[:, :, None, :], r2[:, :, None, :], p1[None, None, :, :], p2[None, None, :, :]
     ).reshape(len(lat_lo), -1).any(axis=1)
     return all_in & ~crossed
+
+
+def polygons_edges_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any edge of ring a intersects (incl. touches) any edge of
+    ring b. Rings are (M, 2) (lat, lng) arrays, closed implicitly."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a1, a2 = a, np.roll(a, -1, axis=0)
+    b1, b2 = b, np.roll(b, -1, axis=0)
+    return bool(
+        segments_cross(
+            a1[:, None, :], a2[:, None, :], b1[None, :, :], b2[None, :, :]
+        ).any()
+    )
+
+
+def polygon_intersects_polygon(a: np.ndarray, b: np.ndarray) -> bool:
+    """Planar lat/lng ring intersection: edges cross, or either ring's first
+    vertex lies inside the other (covers full containment either way)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if polygons_edges_cross(a, b):
+        return True
+    if bool(points_in_polygon(a[:1, 0], a[:1, 1], b)[0]):
+        return True
+    return bool(points_in_polygon(b[:1, 0], b[:1, 1], a)[0])
+
+
+def polygon_inside_polygon(inner: np.ndarray, outer: np.ndarray) -> bool:
+    """All inner vertices inside outer and no edge intersections. Engine
+    semantic: an inner ring touching the outer boundary is NOT contained."""
+    inner = np.asarray(inner, dtype=np.float64)
+    outer = np.asarray(outer, dtype=np.float64)
+    return bool(
+        points_in_polygon(inner[:, 0], inner[:, 1], outer).all()
+        and not polygons_edges_cross(inner, outer)
+    )
+
+
+M_PER_DEG_LAT = 111_194.9
+
+
+def point_to_ring_dist_m(py: float, px: float, vy: np.ndarray, vx: np.ndarray) -> float:
+    """Min planar distance (meters via local lat scaling) from a point to a
+    ring's boundary — the shared helper for cap-vs-rect/polygon refinement."""
+    scale_x = M_PER_DEG_LAT * np.cos(np.radians(py))
+    ey = (np.roll(vy, -1) - vy) * M_PER_DEG_LAT
+    ex = (np.roll(vx, -1) - vx) * scale_x
+    wy = (py - vy) * M_PER_DEG_LAT
+    wx = (px - vx) * scale_x
+    seg2 = ey**2 + ex**2
+    t = np.clip((wy * ey + wx * ex) / np.where(seg2 == 0, 1.0, seg2), 0.0, 1.0)
+    return float(np.sqrt((wy - t * ey) ** 2 + (wx - t * ex) ** 2).min())
+
+
+def point_to_verts_maxdist_m(py: float, px: float, vy: np.ndarray, vx: np.ndarray) -> float:
+    """Max planar distance from a point to ring VERTICES — the farthest point
+    of a convex-or-not ring from an external/internal point is at a vertex,
+    which is what cap-contains-ring needs."""
+    scale_x = M_PER_DEG_LAT * np.cos(np.radians(py))
+    wy = (py - vy) * M_PER_DEG_LAT
+    wx = (px - vx) * scale_x
+    return float(np.sqrt(wy**2 + wx**2).max())

@@ -268,6 +268,7 @@ def build_index(
     n_buckets: int | None = None,
     resume: bool = True,
     codec: str = "snappy",
+    covers_chunks: int | None = None,
 ) -> Manifest:
     """Build the cell index for ``df`` (key column + region columns).
 
@@ -276,6 +277,15 @@ def build_index(
     ``codec``: parquet compression for the index tables. Default snappy
     (fastest scan/write; the index is re-derivable from the base table) —
     pass "zstd" when storage footprint dominates at cold-archive scale.
+
+    ``covers_chunks``: intra-stage resume granularity for the covers stage
+    (the UDF-heavy one that is hours at 100 TB). When > 1, the source is
+    split by a deterministic key hash into that many chunks, each committed
+    independently — a killed build resumes from the last COMPLETED CHUNK
+    instead of restarting the whole stage. Chunking does not change the
+    final index: key_id assignment is a global (min_cell_ord, key) rank,
+    identical with or without chunking (asserted by
+    tests/test_index_query.py::test_chunked_covers_resume).
     """
     man = Manifest(out_path)
     man.set_params(
@@ -284,11 +294,11 @@ def build_index(
     )
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+    n_rank_buckets = 4 * n_buckets  # 4x smooths hash-placement imbalance
 
     # -- stage 1: covers ----------------------------------------------------
-    if not (resume and man.is_committed("covers")):
-        t0 = time.time()
-        src = _ensure_region_cols(df)
+    def _covered(src_df: DataFrame) -> DataFrame:
+        src = _ensure_region_cols(src_df)
         src = src.withColumn(
             "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
         )
@@ -303,44 +313,74 @@ def build_index(
         from .udfs import leaf_cell_udf
 
         ORD_XOR = F.lit(-(1 << 63)).cast("long")
+        NULLD = F.lit(None).cast("double")
         pts_cov = (
             src.filter(F.col("kind") == "point")
             .withColumn("_leaf", leaf_cell_udf(F.col("lat"), F.col("lng")))
             .select(
                 F.col(key_col).alias("key"),
+                F.lit("point").alias("p_kind"),
                 F.col("lat").alias("p_lat"),
                 F.col("lng").alias("p_lng"),
-                F.lit(None).cast("double").alias("p_radius_m"),
+                NULLD.alias("p_radius_m"),
+                NULLD.alias("p_lat_lo"), NULLD.alias("p_lat_hi"),
+                NULLD.alias("p_lng_lo"), NULLD.alias("p_lng_hi"),
+                F.lit(None).cast("array<array<double>>").alias("p_verts"),
                 F.array("_leaf").alias("cells"),
                 F.col("_leaf").bitwiseXOR(ORD_XOR).alias("min_cell_ord"),
             )
         )
         cover_udf = make_cover_udf(bucket)
+        # payload geometry travels with the key so queries can refine
+        # region-vs-region intersects/contains exactly (reference keys are
+        # covers of arbitrary regions, README.md:5-11). p_lat/p_lng is the
+        # representative center (rect midpoint / polygon vertex centroid)
+        # used by kNN distances and cap-center math.
         reg_cov = (
             src.filter(F.coalesce(F.col("kind"), F.lit("")) != "point")
             .withColumn("cov", cover_udf(*[F.col(c) for c in REGION_COLS]))
             .select(
                 F.col(key_col).alias("key"),
-                F.col("lat").alias("p_lat"),
-                F.col("lng").alias("p_lng"),
-                # payload radius: kept so cap-keyed indexes can refine
-                # region-vs-region intersects/contains exactly
+                F.col("kind").alias("p_kind"),
+                F.when(F.col("kind") == "rect", (F.col("lat_lo") + F.col("lat_hi")) / 2)
+                .when(
+                    F.col("kind") == "polygon",
+                    F.expr("aggregate(verts, cast(0 as double), (a, v) -> a + v[0]) / size(verts)"),
+                )
+                .otherwise(F.col("lat"))
+                .alias("p_lat"),
+                F.when(F.col("kind") == "rect", (F.col("lng_lo") + F.col("lng_hi")) / 2)
+                .when(
+                    F.col("kind") == "polygon",
+                    F.expr("aggregate(verts, cast(0 as double), (a, v) -> a + v[1]) / size(verts)"),
+                )
+                .otherwise(F.col("lng"))
+                .alias("p_lng"),
                 F.when(F.col("kind") == "cap", F.col("radius_m"))
-                .otherwise(F.lit(None).cast("double"))
+                .otherwise(NULLD)
                 .alias("p_radius_m"),
+                F.when(F.col("kind") == "rect", F.col("lat_lo")).otherwise(NULLD).alias("p_lat_lo"),
+                F.when(F.col("kind") == "rect", F.col("lat_hi")).otherwise(NULLD).alias("p_lat_hi"),
+                F.when(F.col("kind") == "rect", F.col("lng_lo")).otherwise(NULLD).alias("p_lng_lo"),
+                F.when(F.col("kind") == "rect", F.col("lng_hi")).otherwise(NULLD).alias("p_lng_hi"),
+                F.when(F.col("kind") == "polygon", F.col("verts"))
+                .otherwise(F.lit(None).cast("array<array<double>>"))
+                .alias("p_verts"),
                 F.col("cov.cells").alias("cells"),
                 F.col("cov.min_cell_ord").alias("min_cell_ord"),
             )
         )
-        covered = pts_cov.unionByName(reg_cov)
+        return pts_cov.unionByName(reg_cov)
+
+    def _write_covers_job(covered: DataFrame, stage: str) -> None:
         # piggyback the keys-stage range-bucket boundaries onto THIS job via
         # observe(): approx quantiles of min_cell_ord are collected while the
         # covers write runs, so the keys stage never re-scans for them (the
         # r1 approxQuantile pass was one of the flat per-build job costs)
         from pyspark.sql import Observation
 
-        n_rank_buckets = 4 * n_buckets  # 4x smooths hash-placement imbalance
-        obs = Observation("cover_stats")
+        t0 = time.time()
+        obs = Observation(f"cover_stats_{stage.replace('.', '_')}")
         qs = [i / n_rank_buckets for i in range(1, n_rank_buckets)]
         covered = covered.observe(
             obs,
@@ -348,22 +388,50 @@ def build_index(
                 "min_cell_ord", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
             ).alias("rank_bounds"),
         )
-        tmp = man.tmp_dir("covers")
+        tmp = man.tmp_dir(stage)
         covered.write.mode("overwrite").option("compression", codec).parquet(tmp)
         n = _parquet_rows(tmp, spark)
-        bounds = sorted(set(int(b) for b in (obs.get["rank_bounds"] or [])))
+        cb = sorted(set(int(b) for b in (obs.get["rank_bounds"] or [])))
         man.commit_stage(
-            "covers", tmp,
-            {"rows": n, "secs": time.time() - t0, "rank_bounds": bounds},
+            stage, tmp, {"rows": n, "secs": time.time() - t0, "rank_bounds": cb}
         )
-    covers = spark.read.parquet(man.stage_dir("covers"))
+
+    if covers_chunks and covers_chunks > 1:
+        chunk_stages = [f"covers.c{i:02d}" for i in range(covers_chunks)]
+        for i, st in enumerate(chunk_stages):
+            if resume and man.is_committed(st):
+                continue
+            part = df.filter(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(covers_chunks)) == i
+            )
+            _write_covers_job(_covered(part), st)
+        covers = spark.read.parquet(*[man.stage_dir(st) for st in chunk_stages])
+        # merge per-chunk quantiles: each chunk is an iid hash sample, so
+        # evenly-spaced picks from the pooled sorted bounds estimate the
+        # global quantiles
+        per_chunk = [
+            man.doc["stages"][st]["metrics"].get("rank_bounds") or []
+            for st in chunk_stages
+        ]
+        allb = sorted(b for lst in per_chunk for b in lst)
+        if allb:
+            idx = np.linspace(0, len(allb) - 1, n_rank_buckets - 1).astype(int)
+            bounds = sorted({int(allb[j]) for j in idx})
+        else:
+            bounds = None
+    else:
+        if not (resume and man.is_committed("covers")):
+            _write_covers_job(_covered(df), "covers")
+        covers = spark.read.parquet(man.stage_dir("covers"))
+        bounds = (
+            man.doc["stages"].get("covers", {}).get("metrics", {}).get("rank_bounds")
+        )
 
     # -- stage 2: keys (dense rank in (min_cell_ord, key) order) ------------
     # Range buckets come from the covers-job observe() (manifest metrics);
     # this stage is two jobs: a slim per-bucket count (reads ONLY the
     # min_cell_ord column thanks to parquet pruning) and the rank+write.
     # The r1 version spent a third full approxQuantile scan here.
-    bounds = man.doc["stages"].get("covers", {}).get("metrics", {}).get("rank_bounds")
     if bounds is None:
         # resumed from a pre-observe manifest: fall back to one quantile job
         qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -382,7 +450,7 @@ def build_index(
         t0 = time.time()
         from pyspark.sql import Window
 
-        bucketed = covers.withColumn("rbucket", _rbucket_expr())
+        bucketed = ensure_payload_cols(covers).withColumn("rbucket", _rbucket_expr())
         counts = {
             r["rbucket"]: r["n"]
             for r in bucketed.groupBy("rbucket").agg(F.count("*").alias("n")).collect()
@@ -400,7 +468,11 @@ def build_index(
             bucketed.repartition(n_buckets, "rbucket")
             .withColumn("rn", F.row_number().over(w) - 1)
             .withColumn("key_id", (F.col("rn") + off_map[F.col("rbucket")]).cast("int"))
-            .select("key_id", "key", "p_lat", "p_lng", "p_radius_m", "min_cell_ord", "cells")
+            .select(
+                "key_id", "key", "p_kind", "p_lat", "p_lng", "p_radius_m",
+                "p_lat_lo", "p_lat_hi", "p_lng_lo", "p_lng_hi", "p_verts",
+                "min_cell_ord", "cells",
+            )
         )
         tmp = man.tmp_dir("keys")
         keys.write.mode("overwrite").option("compression", codec).parquet(tmp)
@@ -454,11 +526,33 @@ def build_index(
     return man
 
 
+PAYLOAD_COLS = [
+    "p_kind", "p_radius_m", "p_lat_lo", "p_lat_hi", "p_lng_lo", "p_lng_hi", "p_verts",
+]
+
+
+def ensure_payload_cols(df: DataFrame) -> DataFrame:
+    """Back-compat: indexes built before payload-geometry columns existed
+    carry only p_lat/p_lng/p_radius_m — derive p_kind and null the rest."""
+    if "p_kind" not in df.columns:
+        df = df.withColumn(
+            "p_kind",
+            F.when(F.col("p_radius_m").isNotNull(), F.lit("cap")).otherwise(
+                F.lit("point")
+            ),
+        )
+    for c in ("p_lat_lo", "p_lat_hi", "p_lng_lo", "p_lng_hi"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("double"))
+    if "p_verts" not in df.columns:
+        df = df.withColumn("p_verts", F.lit(None).cast("array<array<double>>"))
+    return df
+
+
 def load_keys(spark: SparkSession, index_path: str) -> DataFrame:
     keys = spark.read.parquet(Manifest(index_path).stage_dir("keys"))
     cols = ["key_id", "key", "p_lat", "p_lng"]
-    if "p_radius_m" in keys.columns:
-        cols.append("p_radius_m")
+    cols += [c for c in PAYLOAD_COLS if c in keys.columns]
     return keys.select(*cols)
 
 

@@ -243,12 +243,16 @@ def search(
             F.col("verts"), F.col("cell_id"),
         )
     else:
+        from .index import ensure_payload_cols
         from .udfs import region_refine_udf
 
         if "p_radius_m" not in joined.columns:
             joined = joined.withColumn("p_radius_m", F.lit(None).cast("double"))
+        joined = ensure_payload_cols(joined)
         pred = region_refine_udf(refine_mode)(
-            F.col("p_lat"), F.col("p_lng"), F.col("p_radius_m"),
+            F.col("p_kind"), F.col("p_lat"), F.col("p_lng"), F.col("p_radius_m"),
+            F.col("p_lat_lo"), F.col("p_lat_hi"), F.col("p_lng_lo"), F.col("p_lng_hi"),
+            F.col("p_verts"),
             F.col("kind"), F.col("lat"), F.col("lng"), F.col("radius_m"),
             F.col("lat_lo"), F.col("lat_hi"), F.col("lng_lo"), F.col("lng_hi"),
             F.col("verts"), F.col("cell_id"),

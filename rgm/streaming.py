@@ -15,6 +15,11 @@ the Spark-native extension for continuously-arriving image rows:
 - ``stream_tile_counts``: event stream with lat/lng + event-time ->
   watermarked sliding-window counts per S2 tile (the streaming half of the
   raster<->vector rollup).
+
+- ``stream_dedup_exact``: custom stateful operator
+  (``applyInPandasWithState``) emitting only the first occurrence of each
+  document text across the stream — the streaming half of
+  dedup.exact_dedup.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .checkpoint import Manifest
 from .index import PARENT3_EXPR, _ensure_region_cols, anc_lattice_sql
@@ -116,16 +122,36 @@ def stream_index_append(
             .sortWithinPartitions("cell_id")
         )
         pairs.write.mode("append").parquet(pairs_dir)
+        # same payload-geometry columns the batch build writes, so appended
+        # key files carry the full keys schema (region-vs-region refinement
+        # works on streamed keys too)
+        NULLD = F.lit(None).cast("double")
         keyed.select(
             "key_id",
             F.col(key_col).alias("key"),
-            F.col("lat").alias("p_lat"),
-            F.col("lng").alias("p_lng"),
-            # same payload-radius column the batch build writes, so appended
-            # key files carry the full keys schema
-            F.when(F.col("kind") == "cap", F.col("radius_m"))
-            .otherwise(F.lit(None).cast("double"))
-            .alias("p_radius_m"),
+            F.col("kind").alias("p_kind"),
+            F.when(F.col("kind") == "rect", (F.col("lat_lo") + F.col("lat_hi")) / 2)
+            .when(
+                F.col("kind") == "polygon",
+                F.expr("aggregate(verts, cast(0 as double), (a, v) -> a + v[0]) / size(verts)"),
+            )
+            .otherwise(F.col("lat"))
+            .alias("p_lat"),
+            F.when(F.col("kind") == "rect", (F.col("lng_lo") + F.col("lng_hi")) / 2)
+            .when(
+                F.col("kind") == "polygon",
+                F.expr("aggregate(verts, cast(0 as double), (a, v) -> a + v[1]) / size(verts)"),
+            )
+            .otherwise(F.col("lng"))
+            .alias("p_lng"),
+            F.when(F.col("kind") == "cap", F.col("radius_m")).otherwise(NULLD).alias("p_radius_m"),
+            F.when(F.col("kind") == "rect", F.col("lat_lo")).otherwise(NULLD).alias("p_lat_lo"),
+            F.when(F.col("kind") == "rect", F.col("lat_hi")).otherwise(NULLD).alias("p_lat_hi"),
+            F.when(F.col("kind") == "rect", F.col("lng_lo")).otherwise(NULLD).alias("p_lng_lo"),
+            F.when(F.col("kind") == "rect", F.col("lng_hi")).otherwise(NULLD).alias("p_lng_hi"),
+            F.when(F.col("kind") == "polygon", F.col("verts"))
+            .otherwise(F.lit(None).cast("array<array<double>>"))
+            .alias("p_verts"),
             F.col("cov.min_cell_ord").alias("min_cell_ord"),
             F.col("cov.cells").alias("cells"),
         ).write.mode("append").parquet(keys_dir)
@@ -163,4 +189,51 @@ def stream_tile_counts(
             "tile_id",
             "n_events",
         )
+    )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+):
+    """Stateful streaming exact dedup: emit only the FIRST occurrence of
+    each distinct ``text_col`` value across the whole stream (the streaming
+    half of dedup.exact_dedup, for continuously-arriving training
+    documents).
+
+    Custom stateful operator via ``applyInPandasWithState``: rows group by
+    the 64-bit xxhash of the text; per-group state is a single seen flag, so
+    state size is O(distinct texts) x ~24 bytes and every micro-batch does
+    one shuffle on the hash. Within a batch the surviving row is the
+    minimum ``id_col`` (deterministic). Hash collisions conflate texts at
+    the usual 2^-64 pair rate — the same trade exact_dedup makes at scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = [f for f in stream_df.schema.fields if f.name in (id_col, text_col)]
+    out_schema = T.StructType(out_fields)
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(id_col, kind="mergesort").iloc[:1]
+            if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield best[[f.name for f in out_fields]]
+
+    keyed = stream_df.withColumn("_h", F.xxhash64(F.col(text_col)))
+    return keyed.groupBy("_h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -297,21 +297,29 @@ def refine_udf():
 
 
 def region_refine_udf(mode: str):
-    """Region-payload refinement: payload = cap(p_lat, p_lng, p_radius_m)
-    (radius null => point). mode='intersects': payload region overlaps the
-    query region; mode='contains': query region fully contains the payload.
+    """Region-vs-region refinement for arbitrary payload geometry.
 
-    Cap-vs-cap is exact great-circle math. Rect/polygon queries use the
-    planar lat/lng distance from the payload center to the region boundary
-    (meters via local scaling) — exact for points, approximate for wide
-    payload radii near region corners (documented engine semantics).
+    Payload kinds (from the index's payload columns): 'point',
+    'cap' (p_lat/p_lng/p_radius_m), 'rect' (p_lat_lo..p_lng_hi),
+    'polygon' (p_verts). Query kinds: cap / rect / polygon.
+    mode='intersects': payload region overlaps the query region;
+    mode='contains': query region fully contains the payload.
+
+    Semantics (documented engine contract, shared with the pytest oracles):
+    cap-vs-cap and cap-vs-point are exact great-circle math; every predicate
+    involving a rect/polygon ring is planar lat/lng with meter distances via
+    local lat scaling — exact for the sub-continental regions the reference
+    exercises; a payload ring touching the query boundary counts as
+    intersecting but NOT as contained.
     """
     if mode not in ("intersects", "contains"):
         raise ValueError(mode)
 
     @F.pandas_udf(T.BooleanType())
     def refine(
-        plat: pd.Series, plng: pd.Series, pradius: pd.Series,
+        pkind: pd.Series, plat: pd.Series, plng: pd.Series, pradius: pd.Series,
+        plat_lo: pd.Series, plat_hi: pd.Series, plng_lo: pd.Series, plng_hi: pd.Series,
+        pverts: pd.Series,
         kind: pd.Series, lat: pd.Series, lng: pd.Series, radius_m: pd.Series,
         lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
         verts: pd.Series, cell_id: pd.Series,
@@ -320,54 +328,86 @@ def region_refine_udf(mode: str):
 
         n = len(plat)
         out = np.zeros(n, dtype=bool)
-        kinds = kind.to_numpy()
+        qkinds = kind.to_numpy()
+        pkinds = pkind.fillna("point").to_numpy()
         py = plat.to_numpy(dtype=np.float64)
         px = plng.to_numpy(dtype=np.float64)
         pr = pradius.fillna(0.0).to_numpy(dtype=np.float64)
 
-        sel = np.nonzero(kinds == "cap")[0]
-        if len(sel):
-            d = geo.haversine_m(py[sel], px[sel], lat.to_numpy()[sel], lng.to_numpy()[sel])
-            qr = radius_m.to_numpy()[sel]
-            if mode == "intersects":
-                out[sel] = d <= qr + pr[sel]
-            else:
-                out[sel] = d + pr[sel] <= qr
+        def payload_ring(i):
+            if pkinds[i] == "rect":
+                return (
+                    np.array([plat_lo.iloc[i], plat_lo.iloc[i], plat_hi.iloc[i], plat_hi.iloc[i]]),
+                    np.array([plng_lo.iloc[i], plng_hi.iloc[i], plng_hi.iloc[i], plng_lo.iloc[i]]),
+                )
+            v = np.asarray([list(p) for p in pverts.iloc[i]], dtype=np.float64)
+            return v[:, 0], v[:, 1]
 
-        # rect / polygon queries: signed planar distance from payload center
-        # to the region (negative = inside), in meters via local scaling
-        for kname in ("rect", "polygon"):
-            sel = np.nonzero(kinds == kname)[0]
-            if not len(sel):
-                continue
-            m_per_deg_lat = 111_194.9
-            for i in sel:
-                if kname == "rect":
-                    vy = np.array([lat_lo.iloc[i], lat_lo.iloc[i], lat_hi.iloc[i], lat_hi.iloc[i]])
-                    vx = np.array([lng_lo.iloc[i], lng_hi.iloc[i], lng_hi.iloc[i], lng_lo.iloc[i]])
+        # ---- cap queries -------------------------------------------------
+        sel = np.nonzero(qkinds == "cap")[0]
+        if len(sel):
+            qlat = lat.to_numpy()[sel]
+            qlng = lng.to_numpy()[sel]
+            qr = radius_m.to_numpy()[sel]
+            ring = np.isin(pkinds[sel], ("rect", "polygon"))
+            # point/cap payloads: exact great-circle center math
+            pc = sel[~ring]
+            if len(pc):
+                d = geo.haversine_m(py[pc], px[pc], qlat[~ring], qlng[~ring])
+                if mode == "intersects":
+                    out[pc] = d <= qr[~ring] + pr[pc]
                 else:
-                    v = np.asarray([list(p) for p in verts.iloc[i]], dtype=np.float64)
-                    vy, vx = v[:, 0], v[:, 1]
-                inside = bool(
+                    out[pc] = d + pr[pc] <= qr[~ring]
+            # ring payloads: planar distance cap-center <-> payload ring
+            for k, i in zip(np.nonzero(ring)[0], sel[ring]):
+                vy, vx = payload_ring(i)
+                c_inside = bool(
                     geo.points_in_polygon(
-                        np.array([py[i]]), np.array([px[i]]), np.stack([vy, vx], axis=1)
+                        np.array([qlat[k]]), np.array([qlng[k]]),
+                        np.stack([vy, vx], axis=1),
                     )[0]
                 )
-                # min planar distance center -> boundary, scaled to meters
-                scale_x = m_per_deg_lat * np.cos(np.radians(py[i]))
-                ey = np.roll(vy, -1) - vy
-                ex = np.roll(vx, -1) - vx
-                wy = (py[i] - vy) * m_per_deg_lat
-                wx = (px[i] - vx) * scale_x
-                eym = ey * m_per_deg_lat
-                exm = ex * scale_x
-                seg2 = eym**2 + exm**2
-                t = np.clip((wy * eym + wx * exm) / np.where(seg2 == 0, 1.0, seg2), 0, 1)
-                dist = np.sqrt((wy - t * eym) ** 2 + (wx - t * exm) ** 2).min()
                 if mode == "intersects":
-                    out[i] = inside or dist <= pr[i]
+                    out[i] = c_inside or geo.point_to_ring_dist_m(
+                        qlat[k], qlng[k], vy, vx
+                    ) <= qr[k]
                 else:
-                    out[i] = inside and dist >= pr[i]
+                    out[i] = geo.point_to_verts_maxdist_m(
+                        qlat[k], qlng[k], vy, vx
+                    ) <= qr[k]
+
+        # ---- rect / polygon queries -------------------------------------
+        for kname in ("rect", "polygon"):
+            sel = np.nonzero(qkinds == kname)[0]
+            if not len(sel):
+                continue
+            for i in sel:
+                if kname == "rect":
+                    qy = np.array([lat_lo.iloc[i], lat_lo.iloc[i], lat_hi.iloc[i], lat_hi.iloc[i]])
+                    qx = np.array([lng_lo.iloc[i], lng_hi.iloc[i], lng_hi.iloc[i], lng_lo.iloc[i]])
+                else:
+                    v = np.asarray([list(p) for p in verts.iloc[i]], dtype=np.float64)
+                    qy, qx = v[:, 0], v[:, 1]
+                qring = np.stack([qy, qx], axis=1)
+                if pkinds[i] in ("rect", "polygon"):
+                    pring = np.stack(payload_ring(i), axis=1)
+                    if mode == "intersects":
+                        out[i] = geo.polygon_intersects_polygon(pring, qring)
+                    else:
+                        out[i] = geo.polygon_inside_polygon(pring, qring)
+                else:
+                    # point / cap payload vs query ring: center-inside +
+                    # planar center->boundary distance vs payload radius
+                    inside = bool(
+                        geo.points_in_polygon(
+                            np.array([py[i]]), np.array([px[i]]), qring
+                        )[0]
+                    )
+                    dist = geo.point_to_ring_dist_m(py[i], px[i], qy, qx)
+                    if mode == "intersects":
+                        out[i] = inside or dist <= pr[i]
+                    else:
+                        out[i] = inside and dist >= pr[i]
         return pd.Series(out)
 
     return refine

@@ -291,3 +291,109 @@ def test_binary_keys_roundtrip(spark, tmp_path):
     cnt = rq.count_keys(spark, out, qdf).collect()
     n_cand = rq.search(spark, out, qdf, refine=False).select("key_id").distinct().count()
     assert cnt[0]["n_keys"] == n_cand >= len(want)
+
+
+def test_region_payloads_rect_polygon_refinement(spark, tmp_path):
+    """Region-vs-region refinement with rect and polygon PAYLOADS (not just
+    caps/points): payload geometry round-trips through the index and both
+    refine modes dispatch correctly. Expected sets are hand-computed."""
+    payloads = spark.createDataFrame(
+        [
+            ("P1", "rect", None, None, None, 30.0, 31.0, -100.0, -99.0, None),
+            ("P2", "polygon", None, None, None, None, None, None, None,
+             [[40.0, -90.0], [41.0, -90.0], [40.5, -89.0]]),
+            ("P3", "cap", 35.0, -95.0, 50_000.0, None, None, None, None, None),
+            ("P4", "point", 20.0, -80.0, None, None, None, None, None, None),
+        ],
+        "key string, kind string, lat double, lng double, radius_m double, "
+        "lat_lo double, lat_hi double, lng_lo double, lng_hi double, "
+        "verts array<array<double>>",
+    )
+    out = str(tmp_path / "regidx")
+    ridx.build_index(spark, payloads, "key", out, bucket=3, max_cells=64, n_buckets=2)
+
+    queries = spark.createDataFrame(
+        [
+            # cap around P1's center, 200 km: contains the whole rect
+            ("QC", "cap", 30.5, -99.5, 200_000.0, None, None, None, None, None),
+            # rect superset of P1
+            ("QR", "rect", None, None, None, 29.0, 32.0, -101.0, -98.0, None),
+            # rect overlapping only P1's top half
+            ("QR2", "rect", None, None, None, 30.5, 32.0, -101.0, -98.0, None),
+            # polygon superset of triangle P2
+            ("QP", "polygon", None, None, None, None, None, None, None,
+             [[39.5, -91.0], [42.0, -91.0], [42.0, -88.0], [39.5, -88.0]]),
+            # polygon overlapping P2 partially
+            ("QP2", "polygon", None, None, None, None, None, None, None,
+             [[40.25, -92.0], [40.25, -89.5], [41.5, -89.5], [41.5, -92.0]]),
+            # tiny cap exactly on point P4
+            ("QC4", "cap", 20.0, -80.0, 1_000.0, None, None, None, None, None),
+        ],
+        "query_id string, kind string, lat double, lng double, radius_m double, "
+        "lat_lo double, lat_hi double, lng_lo double, lng_hi double, "
+        "verts array<array<double>>",
+    )
+
+    inter = {
+        (r["query_id"], r["key"])
+        for r in rq.search(spark, out, queries, refine=True,
+                           refine_mode="intersects").collect()
+    }
+    cont = {
+        (r["query_id"], r["key"])
+        for r in rq.search(spark, out, queries, refine=True,
+                           refine_mode="contains").collect()
+    }
+    assert inter == {
+        ("QC", "P1"), ("QR", "P1"), ("QR2", "P1"),
+        ("QP", "P2"), ("QP2", "P2"), ("QC4", "P4"),
+    }
+    # P1 fits inside QC (farthest rect corner ~73 km < 200 km) and QR, but
+    # only half-overlaps QR2; P2 fits in QP but not QP2; QC4 contains the
+    # point payload exactly
+    assert cont == {("QC", "P1"), ("QR", "P1"), ("QP", "P2"), ("QC4", "P4")}
+
+
+def test_chunked_covers_resume(spark, tmp_path):
+    """Intra-stage resume (north_rule per-partition lineage): the covers
+    stage splits into independently-committed chunks; after a simulated kill
+    (downstream stages gone, chunks intact) the resume skips every committed
+    chunk (no covering recompute) and the final index is IDENTICAL —
+    including key_id assignment — to an unchunked single-shot build."""
+    import os
+    import shutil
+
+    rows = [(f"k{i}", "point", 25.0 + (i * 37 % 100) * 0.2, -120.0 + (i * 61 % 100) * 0.5)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "key string, kind string, lat double, lng double")
+
+    single = str(tmp_path / "single")
+    chunked = str(tmp_path / "chunked")
+    ridx.build_index(spark, df, "key", single, bucket=3, n_buckets=2)
+    ridx.build_index(spark, df, "key", chunked, bucket=3, n_buckets=2, covers_chunks=3)
+
+    def keyset(path):
+        return {
+            (r["key"], r["key_id"])
+            for r in ridx.load_keys(spark, path).select("key", "key_id").collect()
+        }
+
+    assert keyset(single) == keyset(chunked)  # chunking doesn't change ids
+
+    # simulated kill after covers: downstream stages lost, chunks committed
+    chunk_dirs = [os.path.join(chunked, f"covers.c{i:02d}") for i in range(3)]
+    mtimes = {d: os.path.getmtime(d) for d in chunk_dirs}
+    for stage in ("keys", "pairs", "postings"):
+        shutil.rmtree(os.path.join(chunked, stage))
+    ridx.build_index(spark, df, "key", chunked, bucket=3, n_buckets=2, covers_chunks=3)
+    assert {d: os.path.getmtime(d) for d in chunk_dirs} == mtimes  # chunks untouched
+    assert keyset(single) == keyset(chunked)
+
+    # and a chunk loss rebuilds ONLY that chunk
+    shutil.rmtree(chunk_dirs[1])
+    for stage in ("keys", "pairs", "postings"):
+        shutil.rmtree(os.path.join(chunked, stage))
+    ridx.build_index(spark, df, "key", chunked, bucket=3, n_buckets=2, covers_chunks=3)
+    assert os.path.getmtime(chunk_dirs[0]) == mtimes[chunk_dirs[0]]
+    assert os.path.getmtime(chunk_dirs[2]) == mtimes[chunk_dirs[2]]
+    assert keyset(single) == keyset(chunked)

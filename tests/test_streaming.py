@@ -151,3 +151,34 @@ def test_stream_append_multi_partition_batch(spark, tmp_path):
                            40.25, -90.0) <= 50_000.0
     }
     assert got == want
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): only the first
+    occurrence of each text survives, across micro-batches (state persists
+    between batches via maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "docs")
+    os.makedirs(src_dir)
+    # batch 1: ids 0-5, texts A B C A B A  -> first ids 0(A) 1(B) 2(C)
+    pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5],
+                  "text": ["A", "B", "C", "A", "B", "A"]}).to_parquet(
+        src_dir + "/f1.parquet")
+    # batch 2: ids 6-9, texts C D A D     -> first id 7(D) only
+    pd.DataFrame({"doc_id": [6, 7, 8, 9],
+                  "text": ["C", "D", "A", "D"]}).to_parquet(src_dir + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = rstream.stream_dedup_exact(stream, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["doc_id"], r["text"]) for r in spark.sql("select * from dedup_stream").collect()}
+    assert rows == {(0, "A"), (1, "B"), (2, "C"), (7, "D")}
