@@ -30,12 +30,21 @@ FORMATS = ("raw", "ppm", "qnt")
 # ---------------------------------------------------------------------------
 
 
+_GRID_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _norm_grid(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (w, h)
+    if key not in _GRID_CACHE:
+        yy, xx = np.mgrid[0:h, 0:w]
+        _GRID_CACHE[key] = (xx / max(w - 1, 1), yy / max(h - 1, 1))
+    return _GRID_CACHE[key]
+
+
 def synth_pixels(idx: int, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Seeded per-image gradient + noise, uint8 (h, w, 3)."""
     rng = np.random.default_rng(seed * 1_000_003 + idx)
-    yy, xx = np.mgrid[0:h, 0:w]
-    xn = xx / max(w - 1, 1)
-    yn = yy / max(h - 1, 1)
+    xn, yn = _norm_grid(w, h)
     # per-image random plane + sinusoid per channel so content (and hence
     # phash) differs across images, not just the noise floor
     chans = []
@@ -86,28 +95,43 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def avg_phash(px: np.ndarray) -> int:
-    """64-bit average hash: 8x8 block-mean luma vs global mean."""
-    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    """64-bit average hash: 8x8 block-mean luma vs global mean.
+
+    8-divisible sizes (every size the synth table emits) take a pure
+    reshape-mean path — no per-block Python loop; ragged sizes fall back to
+    slice means."""
+    luma = px.astype(np.float64) @ _LUMA
     h, w = luma.shape
-    ys = np.linspace(0, h, 9).astype(int)
-    xs = np.linspace(0, w, 9).astype(int)
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (blocks > blocks.mean()).ravel()
-    out = np.uint64(0)
-    for k, b in enumerate(bits):
-        if b:
-            out |= np.uint64(1) << np.uint64(k)
-    return int(out.view(np.int64))
+    return int((_BIT_WEIGHTS[bits]).sum(dtype=np.uint64).view(np.int64))
 
 
 def resize_block_mean(px: np.ndarray, w2: int, h2: int) -> np.ndarray:
     """Deterministic block-mean resize (area-average downsample or nearest
-    upsample) — the feature-extraction resize kernel."""
+    upsample) — the feature-extraction resize kernel. Divisible downsamples
+    (the synth sizes) are one reshape-mean; ragged shapes loop."""
     h, w, _ = px.shape
+    if h % h2 == 0 and w % w2 == 0:
+        return (
+            px.reshape(h2, h // h2, w2, w // w2, 3)
+            .mean(axis=(1, 3))
+            .round()
+            .astype(np.uint8)
+        )
     ys = (np.arange(h2 + 1) * h // h2).astype(int)
     xs = (np.arange(w2 + 1) * w // w2).astype(int)
     out = np.empty((h2, w2, 3), dtype=np.uint8)

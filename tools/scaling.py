@@ -103,10 +103,17 @@ def _merge_min(runs: list[dict]) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # --report-only: regenerate BENCH/BASELINE.md from the reps already in
+    # BENCH/runs.jsonl (no new bench runs) — used after ad-hoc extra reps
+    report_only = "--report-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    n_low = int(args[1]) if len(args) > 1 else 2
+    n_high = int(args[2]) if len(args) > 2 else 8
+    reps = int(args[3]) if len(args) > 3 else 2
+    if report_only:
+        os.environ["SCALING_MERGE"] = "1"
+        reps = 0
     runs_log = os.path.join(ROOT, "BENCH", "runs.jsonl")
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     lows, highs = [], []
@@ -132,6 +139,10 @@ def main() -> None:
             f"rep {rep}: low={lows[-1]['value']}s high={highs[-1]['value']}s",
             file=sys.stderr,
         )
+    if not lows or not highs:
+        print("no runs to report (runs.jsonl empty and reps=0)", file=sys.stderr)
+        sys.exit(1)
+    reps = max(len(lows), len(highs))  # actual runs per level incl. merged
     lo, hi = _merge_min(lows), _merge_min(highs)
     ceiling = raw_kernel_ceiling(n_low, n_high)
     ratio = n_high / n_low
