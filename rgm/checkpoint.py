@@ -22,6 +22,28 @@ import time
 import uuid
 
 
+# session cache for READ paths: a search issues several manifest lookups
+# (bucket param + stage dirs) and the hot query loop re-read the JSON from
+# disk on every call — an mtime-validated cache makes repeat lookups free
+# while any commit_stage/_flush (which rewrites the file) invalidates it
+_DOC_CACHE: dict[str, tuple[float, dict]] = {}
+
+
+def manifest_doc(root: str) -> dict:
+    """Read-only manifest document, cached per (path, mtime)."""
+    path = os.path.join(root, "_manifest.json")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return {}
+    hit = _DOC_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
+        with open(path) as f:
+            _DOC_CACHE[path] = (mtime, json.load(f))
+        hit = _DOC_CACHE[path]
+    return hit[1]
+
+
 class Manifest:
     def __init__(self, root: str):
         self.root = root
@@ -67,10 +89,12 @@ class Manifest:
         """Atomically promote tmp dir to the stage dir and record lineage.
 
         The old stage dir (if any) is renamed aside BEFORE the new one is
-        renamed in, then deleted — so there is no window where the stage
-        path is absent and a concurrent reader (e.g. a query racing a
-        refresh_postings compaction) fails mid-scan. Two renames instead of
-        rmtree-then-rename."""
+        renamed in, then deleted — shrinking the window where the stage path
+        is absent from a full rmtree to two rename syscalls. The race is
+        narrowed, not eliminated: a concurrent reader (e.g. a query racing a
+        refresh_postings compaction) can still land between the renames, or
+        hold a file list into the rmtree of the old dir — readers must retry
+        on FileNotFoundError (Spark scans do, via task retry)."""
         final = self.stage_dir(stage)
         trash = None
         if os.path.isdir(final):

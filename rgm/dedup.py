@@ -145,7 +145,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify: bool = True,
     est_margin: float = 0.15,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, three-stage:
 
@@ -153,10 +153,14 @@ def minhash_lsh_pairs(
        sits below the threshold (16 bands x 4 rows: j=0.8 pairs are missed
        with prob (1-0.8^4)^16 ≈ 2e-4; j=0.4 pairs collide ~34% but are
        discarded by stages 2-3). Never an all-pairs join. ``max_bucket_size``
-       caps degenerate buckets (m identical docs -> m^2/2 candidate pairs):
-       buckets larger than the cap are DROPPED before pair expansion — at
-       web scale such buckets are exact-duplicate clusters that belong to
-       exact_dedup, not a similarity join. None disables the cap.
+       (OPT-IN, default None = complete recall) caps degenerate buckets
+       (m identical docs -> m^2/2 candidate pairs): buckets larger than the
+       cap are DROPPED before pair expansion, silently losing every pair in
+       them — so any oracle must mirror the cap, and the cap must be sized
+       so only exact-duplicate clusters exceed it (band buckets hash into
+       2^64 space, so ordinary buckets stay tiny at any corpus size; see
+       rgm.pipeline for production defaults that route such clusters through
+       exact_dedup first).
     2. estimate filter: fraction of matching minhash components per
        candidate pair — zip_with over the two packed sig arrays (pure
        column math); keeps only est >= threshold - est_margin.
@@ -268,17 +272,19 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 8,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: split 64 bits into ``chunks`` 8-bit chunks; any pair
     within distance d < chunks shares at least one exact chunk -> candidate
     equi-join on (chunk_idx, chunk_value), then exact popcount filter.
-    Banding is EXACT (no recall loss) as long as no bucket exceeds
-    ``max_bucket_size``: larger buckets (exact-duplicate clusters whose
-    pair expansion is quadratic) are dropped — route those through
-    exact_dedup first. None disables the cap."""
+    Banding is EXACT (no recall loss) with the default max_bucket_size=None.
+    The OPT-IN cap drops buckets larger than it before the quadratic pair
+    expansion — ONLY sound when sized so ordinary buckets never hit it:
+    a chunk bucket holds ~N/2^chunk_bits docs on a random corpus (N/256
+    here), so the cap must be >> that (see rgm.pipeline.auto_bucket_cap) or
+    it silently deletes ordinary pairs; any oracle must mirror it."""
     sh = simhash(df, id_col, text_col)
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
@@ -332,7 +338,7 @@ def embedding_neardup_pairs(
     bits_per_table: int = 4,
     seed: int = 11,
     dim: int | None = None,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via banded random-hyperplane LSH + exact
     cosine verify.
@@ -340,10 +346,15 @@ def embedding_neardup_pairs(
     ``n_tables`` independent hash tables of ``bits_per_table`` sign bits
     each: a pair at angle θ collides in one table with (1-θ/π)^bits, in any
     with 1-(1-p)^tables — tune bits/tables to the threshold. Candidates are
-    the per-(table, bucket) equi-join, with degenerate buckets (>
-    ``max_bucket_size`` members — identical-vector clusters) dropped before
-    the quadratic pair expansion; verification is exact cosine via
+    the per-(table, bucket) equi-join; verification is exact cosine via
     zip_with/aggregate — all built-in expressions, no all-pairs join.
+
+    ``max_bucket_size`` is OPT-IN (default None): there are only
+    2^bits_per_table buckets per table (16 here), so an ORDINARY bucket
+    holds ~N/16 vectors and any fixed cap is exceeded by every bucket once
+    the corpus outgrows ~16x the cap — a cap here deletes ordinary pairs
+    wholesale, not just degenerate clusters. Cap only with a corpus-scaled
+    value (rgm.pipeline.auto_bucket_cap) and mirror it in any oracle.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -392,8 +403,12 @@ def embedding_neardup_pairs(
     def dot(u, v):
         return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
+    # norm floor (same 1e-12 as the numpy paths): zero-norm vectors score
+    # cosine 0 instead of raising DIVIDE_BY_ZERO under ANSI mode; bit-exact
+    # no-op for real vectors so the DuckDB oracle mirror is unaffected
     cos = dot(F.col("v_a"), F.col("v_b")) / (
-        F.sqrt(dot(F.col("v_a"), F.col("v_a"))) * F.sqrt(dot(F.col("v_b"), F.col("v_b")))
+        F.greatest(F.sqrt(dot(F.col("v_a"), F.col("v_a"))), F.lit(1e-12))
+        * F.greatest(F.sqrt(dot(F.col("v_b"), F.col("v_b"))), F.lit(1e-12))
     )
     return (
         cand.withColumn("cosine", cos)

@@ -117,8 +117,19 @@ def _bloom_opts(man: Manifest) -> dict[str, str]:
     (cpp/src/CellFilter.cpp:36-38): within a coarse cell_l3 zone that holds
     many row groups, a point/IN probe can skip row groups whose bloom says
     the cell is absent, beyond what min/max stats prune. Expected NDV is
-    sized from the covers row count (cells-per-key ~ O(10))."""
-    rows = man.doc["stages"].get("covers", {}).get("metrics", {}).get("rows", 0)
+    sized from the covers row count (cells-per-key ~ O(10)); chunked builds
+    name their stages covers.cNN, so rows are summed across every covers*
+    stage, with keys-stage rows as the resume-time fallback — an NDV fallen
+    back to the 1024 floor would size the bloom for a toy index and push
+    its FPP toward 1 on a real one."""
+    stages = man.doc["stages"]
+    rows = sum(
+        e.get("metrics", {}).get("rows", 0)
+        for s, e in stages.items()
+        if s == "covers" or s.startswith("covers.c")
+    )
+    if not rows:
+        rows = stages.get("keys", {}).get("metrics", {}).get("rows", 0)
     ndv = min(max(int(rows) * 2, 1024), 8_000_000)
     return {
         "parquet.bloom.filter.enabled#cell_id": "true",
@@ -549,16 +560,22 @@ def ensure_payload_cols(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_keys(spark: SparkSession, index_path: str) -> DataFrame:
-    keys = spark.read.parquet(Manifest(index_path).stage_dir("keys"))
+def load_keys(spark: SparkSession, index_path: str, payload: bool = True) -> DataFrame:
+    """Key table scan. ``payload=False`` prunes the payload-geometry columns
+    (p_kind/p_radius_m/bboxes/p_verts) from the scan — point-refinement and
+    refine=False queries never read them, and projecting them anyway widens
+    every surviving row through the candidate join (the r2 contains_cap8
+    regression suspect)."""
+    keys = spark.read.parquet(os.path.join(index_path, "keys"))
     cols = ["key_id", "key", "p_lat", "p_lng"]
-    cols += [c for c in PAYLOAD_COLS if c in keys.columns]
+    if payload:
+        cols += [c for c in PAYLOAD_COLS if c in keys.columns]
     return keys.select(*cols)
 
 
 def load_pairs(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(Manifest(index_path).stage_dir("pairs"))
+    return spark.read.parquet(os.path.join(index_path, "pairs"))
 
 
 def load_postings(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(Manifest(index_path).stage_dir("postings"))
+    return spark.read.parquet(os.path.join(index_path, "postings"))

@@ -34,6 +34,14 @@ def _dot(u, v):
     return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
+def _norm(v):
+    """Norm with the same 1e-12 floor the numpy paths use: a zero-norm
+    vector scores cosine 0 instead of raising DIVIDE_BY_ZERO under ANSI
+    mode (or NaN with ANSI off, which the two top-k stages would order
+    differently — ADVICE r2). A no-op bit-for-bit for every real vector."""
+    return F.greatest(F.sqrt(_dot(v, v)), F.lit(1e-12))
+
+
 def _const_array(c: np.ndarray):
     return F.array(*[F.lit(float(x)) for x in c])
 
@@ -48,10 +56,15 @@ def _partial_topk(scored: DataFrame, q_id_col: str, id_col: str, k: int) -> Data
         best: pd.DataFrame | None = None
         for pdf in it:
             cur = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            # na_position='first': a NaN cosine (zero-norm vector) must rank
+            # as GREATEST under the descending sort, matching Spark's window
+            # ordering (NaN > any value) — pandas' default na_position='last'
+            # would prune a row here that the final window ranks first
             cur = cur.sort_values(
                 [q_id_col, "cosine", id_col],
                 ascending=[True, False, True],
                 kind="mergesort",
+                na_position="first",
             )
             best = cur.groupby(q_id_col, sort=False).head(k)
         if best is not None and len(best):
@@ -86,11 +99,11 @@ def brute_topk(
     only k survivors per (query, partition) reach the final window."""
     q = queries.select(
         F.col(q_id_col), F.col(q_vec_col),
-        F.sqrt(_dot(F.col(q_vec_col), F.col(q_vec_col))).alias("q_norm"),
+        _norm(F.col(q_vec_col)).alias("q_norm"),
     )
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("v_norm"),
+        _norm(F.col(vec_col)).alias("v_norm"),
     )
     scored = v.crossJoin(F.broadcast(q)).select(
         F.col(q_id_col), F.col(id_col),
@@ -141,7 +154,7 @@ def assign_cells(
     if use_expr is None:
         use_expr = centroids.size <= 8192
     if use_expr:
-        v_norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        v_norm = _norm(F.col(vec_col))
         cosines = _centroid_cosines(F.col(vec_col), v_norm, centroids)
         structs = [
             F.struct(c.alias("c"), F.lit(-i).alias("ni")) for i, c in enumerate(cosines)
@@ -168,7 +181,7 @@ def probe_cells_col(
     """Column: array of the nprobe nearest centroid indices for a query
     vector (cosine desc, index asc on ties)."""
     if use_expr:
-        v_norm = F.sqrt(_dot(q_vec_expr, q_vec_expr))
+        v_norm = _norm(q_vec_expr)
         cosines = _centroid_cosines(q_vec_expr, v_norm, centroids)
         structs = [
             F.struct(c.alias("c"), F.lit(-i).alias("ni")) for i, c in enumerate(cosines)
@@ -225,10 +238,7 @@ def ivf_topk(
         F.col(q_id_col), F.col(id_col),
         (
             _dot(F.col(vec_col), F.col(q_vec_col))
-            / (
-                F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-                * F.sqrt(_dot(F.col(q_vec_col), F.col(q_vec_col)))
-            )
+            / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))
         ).alias("cosine"),
     )
     return _final_topk(scored, q_id_col, id_col, k)
