@@ -266,3 +266,110 @@ def point_to_verts_maxdist_m(py: float, px: float, vy: np.ndarray, vx: np.ndarra
     wy = (py - vy) * M_PER_DEG_LAT
     wx = (px - vx) * scale_x
     return float(np.sqrt(wy**2 + wx**2).max())
+
+
+def points_to_ring_dist_m(
+    py: np.ndarray, px: np.ndarray, vy: np.ndarray, vx: np.ndarray
+) -> np.ndarray:
+    """Vectorized point_to_ring_dist_m: N points vs ONE ring -> (N,) min
+    planar distances. Same local-lat scaling formula per point, so each
+    element equals the scalar kernel exactly."""
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    scale_x = (M_PER_DEG_LAT * np.cos(np.radians(py)))[:, None]  # (N,1)
+    ey = ((np.roll(vy, -1) - vy) * M_PER_DEG_LAT)[None, :]  # (1,M)
+    ex = (np.roll(vx, -1) - vx)[None, :] * scale_x  # (N,M)
+    wy = (py[:, None] - vy[None, :]) * M_PER_DEG_LAT
+    wx = (px[:, None] - vx[None, :]) * scale_x
+    seg2 = ey**2 + ex**2
+    t = np.clip((wy * ey + wx * ex) / np.where(seg2 == 0, 1.0, seg2), 0.0, 1.0)
+    return np.sqrt((wy - t * ey) ** 2 + (wx - t * ex) ** 2).min(axis=1)
+
+
+def _own_ring_edges(
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Edge arrays for a ragged batch of rings (one ring per row).
+
+    ``offsets`` is the (n+1,) vertex-boundary array; ring i's vertices are
+    flat[offsets[i]:offsets[i+1]]. Returns (vy1, vx1, vy2, vx2, row_of) for
+    every edge, with the last edge of each ring wrapping to its first
+    vertex — the ragged equivalent of np.roll(v, -1)."""
+    n = len(offsets) - 1
+    total = len(flat_vy)
+    nxt = np.arange(1, total + 1)
+    ends = offsets[1:]
+    starts = offsets[:-1]
+    nxt[ends - 1] = starts  # wrap each ring's last vertex to its first
+    row_of = np.repeat(np.arange(n), np.diff(offsets))
+    return flat_vy, flat_vx, flat_vy[nxt], flat_vx[nxt], row_of
+
+
+def points_to_own_ring_dist_m(
+    py: np.ndarray, px: np.ndarray,
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+) -> np.ndarray:
+    """Min planar distance from point i to ITS OWN ring i (ragged batch) —
+    the vectorized form of looping point_to_ring_dist_m per row. One pass
+    over all edges + a segment-min (minimum.reduceat) per ring."""
+    py = np.asarray(py, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
+    vy1, vx1, vy2, vx2, row_of = _own_ring_edges(flat_vy, flat_vx, offsets)
+    scale_x = M_PER_DEG_LAT * np.cos(np.radians(py))[row_of]
+    ey = (vy2 - vy1) * M_PER_DEG_LAT
+    ex = (vx2 - vx1) * scale_x
+    wy = (py[row_of] - vy1) * M_PER_DEG_LAT
+    wx = (px[row_of] - vx1) * scale_x
+    seg2 = ey**2 + ex**2
+    t = np.clip((wy * ey + wx * ex) / np.where(seg2 == 0, 1.0, seg2), 0.0, 1.0)
+    d = np.sqrt((wy - t * ey) ** 2 + (wx - t * ex) ** 2)
+    return np.minimum.reduceat(d, offsets[:-1])
+
+
+def points_to_own_verts_maxdist_m(
+    py: np.ndarray, px: np.ndarray,
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+) -> np.ndarray:
+    """Max planar distance from point i to its own ring i's VERTICES
+    (ragged batch) — vectorized point_to_verts_maxdist_m."""
+    py = np.asarray(py, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
+    row_of = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    scale_x = M_PER_DEG_LAT * np.cos(np.radians(py))[row_of]
+    wy = (py[row_of] - flat_vy) * M_PER_DEG_LAT
+    wx = (px[row_of] - flat_vx) * scale_x
+    return np.maximum.reduceat(np.sqrt(wy**2 + wx**2), offsets[:-1])
+
+
+def points_in_own_polygon(
+    py: np.ndarray, px: np.ndarray,
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+) -> np.ndarray:
+    """Ray-casting point-in-polygon where point i tests against ITS OWN
+    ring i (ragged batch). Matches points_in_polygon semantics exactly:
+    half-open crossing rule + on-edge tolerance counts as inside."""
+    py = np.asarray(py, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
+    vy1, vx1, vy2, vx2, row_of = _own_ring_edges(flat_vy, flat_vx, offsets)
+    y = py[row_of]
+    x = px[row_of]
+    cond = (vy1 > y) != (vy2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = vx1 + (y - vy1) / (vy2 - vy1) * (vx2 - vx1)
+    crossed = (cond & (x < x_int)).astype(np.int64)
+    crossings = np.add.reduceat(crossed, offsets[:-1])
+    inside = (crossings % 2) == 1
+
+    ex = vx2 - vx1
+    ey = vy2 - vy1
+    wx = x - vx1
+    wy = y - vy1
+    seg2 = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip((wx * ex + wy * ey) / np.where(seg2 == 0, 1.0, seg2), 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    on_edge = (
+        np.add.reduceat(((dx * dx + dy * dy) < 1e-18).astype(np.int64), offsets[:-1]) > 0
+    )
+    return inside | on_edge

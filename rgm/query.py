@@ -257,6 +257,7 @@ def search(
             joined = joined.withColumn("p_radius_m", F.lit(None).cast("double"))
         joined = ensure_payload_cols(joined)
         pred = region_refine_udf(refine_mode)(
+            F.col("query_id"),
             F.col("p_kind"), F.col("p_lat"), F.col("p_lng"), F.col("p_radius_m"),
             F.col("p_lat_lo"), F.col("p_lat_hi"), F.col("p_lng_lo"), F.col("p_lng_hi"),
             F.col("p_verts"),
@@ -369,32 +370,50 @@ def tiles_for_regions(
         lat_lo: pd.Series, lat_hi: pd.Series, lng_lo: pd.Series, lng_hi: pd.Series,
         verts: pd.Series, cell_id: pd.Series, max_cells: pd.Series,
     ) -> pd.Series:
-        from .udfs import _region_covers
+        from .udfs import _region_covers, _rows_to_lists
 
         covers = _region_covers(
             kind, lat, lng, radius_m, lat_lo, lat_hi, lng_lo, lng_hi,
             verts, cell_id, pd.Series(np.full(len(kind), max_tiles)),
         )
-        out = []
-        for c in covers:
-            # expand/snap the cover to exactly `level`
-            lv = cm.level(c)
-            fine = c[lv >= level]
-            parts = (
-                [np.unique(cm.parent(fine, np.full(len(fine), level)))] if len(fine) else []
-            )
-            cur = c[lv < level]
+        # expand/snap every region's cover to exactly `level`, batched
+        # ACROSS regions (the same concatenate/searchsorted shape
+        # compute_covers uses — the r2 per-region loop ran the BFS once per
+        # region): one parent() call for all finer-than-level cells, one
+        # children() fan-out per depth step for all coarser cells
+        n = len(covers)
+        lens = np.array([len(c) for c in covers], dtype=np.int64)
+        flat = np.concatenate(covers) if lens.sum() else np.empty(0, np.uint64)
+        row_of = np.repeat(np.arange(n), lens)
+        parts_c: list[np.ndarray] = []
+        parts_r: list[np.ndarray] = []
+        if len(flat):
+            lv = cm.level(flat)
+            fine = lv >= level
+            if fine.any():
+                parts_c.append(cm.parent(flat[fine], np.full(int(fine.sum()), level)))
+                parts_r.append(row_of[fine])
+            cur, cur_r = flat[~fine], row_of[~fine]
             while len(cur):
                 lvc = cm.level(cur)
-                at = cur[lvc == level]
-                if len(at):
-                    parts.append(at)
-                below = cur[lvc < level]
-                cur = (
-                    cm.children(below).reshape(-1) if len(below) else np.empty(0, np.uint64)
-                )
-            tiles = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-            out.append(cm.to_spark(tiles).tolist())
+                at = lvc == level
+                if at.any():
+                    parts_c.append(cur[at])
+                    parts_r.append(cur_r[at])
+                below = lvc < level
+                if not below.any():
+                    break
+                cur = cm.children(cur[below]).reshape(-1)
+                cur_r = np.repeat(cur_r[below], 4)
+        if parts_c:
+            tiles = cm.to_spark(np.concatenate(parts_c))
+            rows = np.concatenate(parts_r)
+            o = np.lexsort((tiles, rows))
+            t, r = tiles[o], rows[o]
+            keep = np.concatenate([[True], (r[1:] != r[:-1]) | (t[1:] != t[:-1])])
+            out = _rows_to_lists(t[keep], r[keep], n)
+        else:
+            out = [[] for _ in range(n)]
         return pd.Series(out)
 
     covered = q.withColumn(

@@ -117,3 +117,44 @@ def test_manifest_doc_cache_invalidates_on_commit(tmp_path, spark):
     # ensure mtime moved (coarse filesystems)
     os.utime(man.path)
     assert manifest_doc(root)["params"]["bucket"] == 5
+
+
+def test_ragged_ring_kernels_match_scalar():
+    """The vectorized own-ring kernels must equal the scalar kernels
+    element-for-element on a ragged batch of random rings."""
+    import numpy as np
+
+    from rgm import geo
+
+    rng = np.random.default_rng(5)
+    n = 60
+    pts_y = rng.uniform(30, 45, n)
+    pts_x = rng.uniform(-120, -80, n)
+    rings = []
+    for i in range(n):
+        m = int(rng.integers(3, 9))
+        cy, cx = pts_y[i] + rng.normal(0, 2), pts_x[i] + rng.normal(0, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        rad = rng.uniform(0.5, 3.0, m)
+        rings.append(
+            np.stack([cy + rad * np.sin(ang), cx + rad * np.cos(ang)], axis=1)
+        )
+    lens = np.array([len(r) for r in rings])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    fy = np.concatenate([r[:, 0] for r in rings])
+    fx = np.concatenate([r[:, 1] for r in rings])
+
+    got_d = geo.points_to_own_ring_dist_m(pts_y, pts_x, fy, fx, offs)
+    got_mx = geo.points_to_own_verts_maxdist_m(pts_y, pts_x, fy, fx, offs)
+    got_in = geo.points_in_own_polygon(pts_y, pts_x, fy, fx, offs)
+    for i, r in enumerate(rings):
+        assert got_d[i] == geo.point_to_ring_dist_m(pts_y[i], pts_x[i], r[:, 0], r[:, 1])
+        assert got_mx[i] == geo.point_to_verts_maxdist_m(pts_y[i], pts_x[i], r[:, 0], r[:, 1])
+        assert got_in[i] == bool(
+            geo.points_in_polygon(pts_y[i : i + 1], pts_x[i : i + 1], r)[0]
+        )
+    # many-points-vs-one-ring kernel vs scalar loop
+    one = rings[0]
+    got = geo.points_to_ring_dist_m(pts_y, pts_x, one[:, 0], one[:, 1])
+    for i in range(n):
+        assert got[i] == geo.point_to_ring_dist_m(pts_y[i], pts_x[i], one[:, 0], one[:, 1])
