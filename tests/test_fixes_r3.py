@@ -158,3 +158,37 @@ def test_ragged_ring_kernels_match_scalar():
     got = geo.points_to_ring_dist_m(pts_y, pts_x, one[:, 0], one[:, 1])
     for i in range(n):
         assert got[i] == geo.point_to_ring_dist_m(pts_y[i], pts_x[i], one[:, 0], one[:, 1])
+
+
+def test_ivf_materialized_index(spark, emb, tmp_path):
+    """build_ivf_index materializes a cell-partitioned corpus + trained
+    centroids in the manifest; ivf_search partition-prunes the scan and
+    reaches good recall vs brute force."""
+    import os
+
+    from rgm import similarity as rsim
+
+    out = str(tmp_path / "ivf")
+    man = rsim.build_ivf_index(spark, emb, out, n_cells=16, iters=5)
+    # physical layout: one partition dir per populated cell
+    dirs = [d for d in os.listdir(os.path.join(out, "vectors")) if d.startswith("cell=")]
+    assert len(dirs) > 1
+    assert len(man.doc["params"]["ivf"]["centroids"]) == 16
+
+    # resume: a second call must not rewrite the stage
+    committed = man.doc["stages"]["vectors"]["committed_utc"]
+    man2 = rsim.build_ivf_index(spark, emb, out, n_cells=16, iters=5)
+    assert man2.doc["stages"]["vectors"]["committed_utc"] == committed
+
+    queries = emb.filter("vec_id < 8").selectExpr(
+        "cast(vec_id as string) as query_id", "embedding as q_embedding"
+    )
+    got = rsim.ivf_search(spark, out, queries, k=10, nprobe=4)
+    # partition pruning is physical: the scan must carry PartitionFilters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    truth = rsim.brute_topk(emb, queries, k=10)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    assert len(g & t) >= 0.6 * len(t)

@@ -22,6 +22,14 @@ values to parquet and the oracle SQL joins against them:
   Spark's xxhash64) — an execution-independent recomputation of both
   sketches. Keyed by md5(text) (DuckDB has md5) so one fixture serves every
   sf dir.
+- ivf_centroids.parquet (ci, c double[]): the trained IVF coarse-quantizer
+  centroids for the sf0.01 embeddings (the sf the driver gate runs at),
+  produced by the same deterministic numpy k-means the engine's
+  build_ivf_index runs on its driver-side sample (rgm.similarity.
+  train_centroids — shared training code, disclosed). The oracle SQL takes
+  these centroids as GIVEN constants and independently re-executes
+  assignment, probing and ranking in DuckDB — the same mirroring discipline
+  as the hyperplane LSH bank (_emb_lsh_oracle_sql).
 
 Regenerate with `python tools/make_fixtures.py` if /root/testdata changes.
 """
@@ -174,6 +182,27 @@ def text_hashes_fixture() -> pd.DataFrame:
     return df
 
 
+def ivf_centroids_fixture() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from rgm.benchqueries import IVF_ITERS, IVF_N_CELLS, IVF_SAMPLE
+    from rgm.similarity import train_centroids
+
+    # the driver gate runs at sf0.01 — train on exactly the sample
+    # build_ivf_index collects there: the IVF_SAMPLE lowest-vec_id vectors,
+    # float32 widened to float64 (exact)
+    t = pq.read_table(
+        os.path.join("/root/testdata/sf0.01", "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pandas()
+    t = t.sort_values("vec_id", kind="mergesort").head(IVF_SAMPLE)
+    sample = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    cents = train_centroids(sample, IVF_N_CELLS, IVF_ITERS)
+    return pd.DataFrame(
+        {"ci": np.arange(IVF_N_CELLS, dtype=np.int64), "c": [c.tolist() for c in cents]}
+    )
+
+
 def main() -> None:
     os.makedirs(FIXDIR, exist_ok=True)
     ta = tile_assign_fixture()
@@ -185,6 +214,9 @@ def main() -> None:
     th = text_hashes_fixture()
     th.to_parquet(os.path.join(FIXDIR, "text_hashes.parquet"), index=False)
     print(f"text_hashes: {len(th)} rows")
+    iv = ivf_centroids_fixture()
+    iv.to_parquet(os.path.join(FIXDIR, "ivf_centroids.parquet"), index=False)
+    print(f"ivf_centroids: {len(iv)} rows")
 
 
 if __name__ == "__main__":
