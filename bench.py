@@ -113,6 +113,50 @@ def main() -> None:
         )[1],
     )
 
+    # -- hot-cell skew build (SURVEY C7 evidence at bench scale): 30% of the
+    # corpus lands in ONE ~50 km box (a single level-3 zone), the worst
+    # realistic key-distribution skew; the two-phase postings build (map-side
+    # partial bitmaps; hot cells span many scan splits) plus AQE skew-join
+    # must keep the build within the uniform build's per-row cost. Not in
+    # the headline (r1/r2 comparability) — reported as its own entry.
+    n_skew = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW", "150000"))
+    if n_skew:
+        skew_idx = idx_path + "_skew"
+        shutil.rmtree(skew_idx, ignore_errors=True)
+        n_hot = n_skew * 3 // 10
+        hot = spark.range(n_hot).select(
+            F.concat(F.lit("h"), F.col("id")).alias("key"),
+            F.lit("point").alias("kind"),
+            (F.lit(37.0) + (F.col("id") * 6151 % 1000000) / 1000000.0 * 0.45).alias("lat"),
+            (F.lit(-106.0) + (F.col("id") * 4231 % 1000000) / 1000000.0 * 0.45).alias("lng"),
+        )
+        cold = spark.range(n_skew - n_hot).select(
+            F.concat(F.lit("u"), F.col("id")).alias("key"),
+            F.lit("point").alias("kind"),
+            (F.lit(24.396308) + (F.col("id") * 7477 % 1000000) / 1000000.0 * (49.384358 - 24.396308)).alias("lat"),
+            (F.lit(-125.0) + (F.col("id") * 5953 % 1000000) / 1000000.0 * (-66.93457 - -125.0)).alias("lng"),
+        )
+        skew_pts = hot.unionByName(cold)
+
+        def build_skew():
+            ridx.build_index(
+                spark, skew_pts, "key", skew_idx, bucket=3,
+                n_buckets=max(cpus, 8), resume=False,
+            )
+            return n_skew
+
+        timed("index_build_hotcell_30pct", build_skew)
+        # query straight into the hot zone: posting-list union on the
+        # hottest cells (the skew-readers' worst case)
+        hotq = spark.createDataFrame(
+            [("hq", "cap", 37.22, -105.78, 30_000.0)],
+            "query_id string, kind string, lat double, lng double, radius_m double",
+        )
+        timed(
+            "count_hotcell_cap",
+            lambda: _count(rq.count_keys(spark, skew_idx, hotq)),
+        )
+
     # -- reference-shaped query batch: 2000 x 1 km caps ---------------------
     n_caps = 2000
     caps = spark.range(n_caps).select(

@@ -267,6 +267,63 @@ def refresh_postings(
     _postings_stage(spark, man, n_buckets, codec)
 
 
+def _stage_file_count(index_path: str, stage: str) -> int:
+    d = os.path.join(index_path, stage)
+    return sum(
+        1
+        for dp, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def compact_pairs(
+    spark: SparkSession, index_path: str, n_buckets: int | None = None,
+    codec: str = "snappy",
+) -> None:
+    """Rewrite the pairs table as one sorted, bloom-filtered file set.
+
+    Streamed appends (rgm.streaming.stream_index_append) add a few small
+    files per micro-batch; thousands of micro-batches later the fragment
+    count degrades scan planning (file listing, per-file footer reads,
+    splits too small to batch). Compaction globally range-clusters on
+    cell_id (restoring tight row-group min/max stats — the block-max
+    index — across the WHOLE table, which per-batch sorting cannot do) and
+    swaps the directory in with the same atomic commit_stage the build
+    uses, so concurrent readers keep a consistent view. repartitionByRange's
+    sampling pass is acceptable here: compaction is an occasional
+    maintenance job, not the query path."""
+    man = Manifest(index_path)
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+    t0 = time.time()
+    pairs = spark.read.parquet(man.stage_dir("pairs"))
+    compacted = pairs.repartitionByRange(n_buckets, "cell_id").sortWithinPartitions(
+        "cell_id", "key_id"
+    )
+    tmp = man.tmp_dir("pairs")
+    compacted.write.mode("overwrite").option("compression", codec).options(
+        **_bloom_opts(man)
+    ).parquet(tmp)
+    n = _parquet_rows(tmp, spark)
+    man.commit_stage(
+        "pairs", tmp, {"rows": n, "secs": time.time() - t0, "compacted": True}
+    )
+
+
+def maybe_compact_pairs(
+    spark: SparkSession, index_path: str, max_files: int = 64,
+    n_buckets: int | None = None, codec: str = "snappy",
+) -> bool:
+    """Compact the pairs table when its fragment count exceeds
+    ``max_files`` (the manifest-driven hook a streaming maintenance loop
+    calls after each append window). Returns True if a compaction ran."""
+    if _stage_file_count(index_path, "pairs") <= max_files:
+        return False
+    compact_pairs(spark, index_path, n_buckets, codec)
+    return True
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,

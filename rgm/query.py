@@ -23,6 +23,8 @@ brute-force oracle (reference C1 north_star semantics).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -430,6 +432,7 @@ def knn(
     r0_m: float = 2000.0,
     max_rounds: int = 8,
     bucket: int | None = None,
+    batch_threshold: int = SMALL_QUERY_ROWS,
 ) -> DataFrame:
     """k nearest indexed keys per query point (SURVEY Table C3).
 
@@ -437,22 +440,28 @@ def knn(
     round) until a query has >= k exact candidates within the radius (then
     the true kNN is a subset of them), finish with a per-query window top-k.
 
-    Per-round state lives on the DRIVER (query batches are small — the same
-    broadcast regime as plan_query_cells) and each round's hits are
-    persist()-ed before the count action, so no round ever re-evaluates a
-    prior round's covering/join/refine lineage (the r1 version lazily
-    chained up to 8 rounds and re-ran everything at the final window). The
-    small final result is materialized, then the per-round caches are
-    dropped.
+    Two regimes, picked by query-batch size (same split as
+    plan_query_cells):
+
+    - up to ``batch_threshold`` queries: per-round state on the DRIVER,
+      round hits persist()-ed so no round re-evaluates prior lineage; the
+      small final result is materialized and the caches dropped.
+    - above it: the fully distributed path (_knn_distributed) — the query
+      set is NEVER collected; the remaining set lives as a DataFrame
+      (anti-join on the done ids) and round hits spill to parquet, so a
+      million-point query batch holds no driver-side row state.
     """
     from pyspark.sql import Window
 
     from .udfs import haversine_udf
 
-    rem = [
-        (r["query_id"], float(r["lat"]), float(r["lng"]))
-        for r in query_points.select("query_id", "lat", "lng").collect()
-    ]
+    qp = query_points.select("query_id", "lat", "lng")
+    head = qp.take(batch_threshold + 1)
+    if len(head) > batch_threshold:
+        return _knn_distributed(
+            spark, index_path, qp, k, r0_m, max_rounds, bucket
+        )
+    rem = [(r["query_id"], float(r["lat"]), float(r["lng"])) for r in head]
     round_dfs: list[DataFrame] = []
     cached: list[DataFrame] = []  # the persist()-ed parents to release
     radius = r0_m
@@ -521,3 +530,91 @@ def knn(
     for d in cached:
         d.unpersist()
     return spark.createDataFrame(out_rows, schema)
+
+
+def _knn_distributed(
+    spark: SparkSession,
+    index_path: str,
+    qp: DataFrame,
+    k: int,
+    r0_m: float,
+    max_rounds: int,
+    bucket: int | None,
+) -> DataFrame:
+    """Large-batch kNN: ring expansion with all round state distributed.
+
+    Per round: cap-search the REMAINING queries (a DataFrame — never
+    collected; covering goes through plan_query_cells' distributed path
+    when the batch exceeds its broadcast regime), spill the round's hits to
+    parquet (cuts lineage with zero cached blocks), and shrink the
+    remaining set by an ANTI-JOIN on the queries that reached k candidates.
+    Growing caps are supersets, so the union of all rounds' hits per query
+    equals its final round's candidate set — dedupe (query, key) then one
+    per-query window top-k. The only driver-side values are scalar counts.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .udfs import haversine_udf
+
+    work = tempfile.mkdtemp(prefix="rgm_knn_")
+    rounds_written = 0
+    rem = qp
+    radius = r0_m
+    try:
+        for rnd in range(max_rounds):
+            caps = rem.select(
+                "query_id", F.lit("cap").alias("kind"), "lat", "lng",
+                F.lit(float(radius)).alias("radius_m"),
+            )
+            hits = (
+                search(spark, index_path, caps, bucket=bucket, refine=True)
+                .join(
+                    rem.select(
+                        "query_id",
+                        F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"),
+                    ),
+                    on="query_id",
+                )
+                .withColumn("dist_m", haversine_udf("p_lat", "p_lng", "q_lat", "q_lng"))
+                .select("query_id", "key_id", "key", "dist_m")
+            )
+            hits.write.parquet(os.path.join(work, f"round{rnd}"))
+            rounds_written += 1
+            hits_r = spark.read.parquet(os.path.join(work, f"round{rnd}"))
+            done = (
+                hits_r.groupBy("query_id")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= k)
+                .select("query_id")
+            )
+            rem = rem.join(done, on="query_id", how="left_anti")
+            if rem.isEmpty():
+                break
+            radius *= 4.0
+        allhits = spark.read.parquet(
+            *[os.path.join(work, f"round{r}") for r in range(rounds_written)]
+        )
+        # growing caps re-find earlier rounds' keys — collapse duplicates
+        # before ranking (dist is identical across rounds for a pair)
+        dedup = allhits.groupBy("query_id", "key_id", "key").agg(
+            F.min("dist_m").alias("dist_m")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col("key_id").asc()
+        )
+        out = (
+            dedup.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "key_id", "key", "dist_m", "rank")
+        )
+        # materialize before the workdir is deleted (results are k x
+        # |queries| — large-batch callers should write this out; we spill
+        # to one final parquet so the returned plan reads committed files)
+        final = work + "_out"
+        out.write.parquet(final)
+        return spark.read.parquet(final)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -192,3 +192,69 @@ def test_ivf_materialized_index(spark, emb, tmp_path):
     t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
     g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
     assert len(g & t) >= 0.6 * len(t)
+
+
+def test_knn_distributed_matches_driver_path(spark, tmp_path):
+    """Above batch_threshold, kNN switches to the distributed path (query
+    set never collected, round state on disk); results must equal the
+    driver-side path on the same input."""
+    from rgm import index as ridx
+    from rgm import query as rq
+
+    pts = spark.createDataFrame(
+        [(f"p{i}", "point", 30.0 + (i * 37 % 500) / 50.0, -110.0 + (i * 61 % 500) / 25.0)
+         for i in range(400)],
+        "key string, kind string, lat double, lng double",
+    )
+    out = str(tmp_path / "idx")
+    ridx.build_index(spark, pts, "key", out, bucket=3, n_buckets=4)
+
+    qdf = spark.createDataFrame(
+        [(f"q{i}", 31.0 + i * 0.37, -108.0 + i * 0.61) for i in range(24)],
+        "query_id string, lat double, lng double",
+    )
+    small = rq.knn(spark, out, qdf, k=5, r0_m=50_000)
+    big = rq.knn(spark, out, qdf, k=5, r0_m=50_000, batch_threshold=4)  # forces distributed
+    s = {(r["query_id"], r["rank"], r["key"]) for r in small.collect()}
+    b = {(r["query_id"], r["rank"], r["key"]) for r in big.collect()}
+    assert b == s and len(s) == 24 * 5
+
+
+def test_region_tiles_fixture_sandwich():
+    """The tiles_for_regions oracle fixture is geometrically certified by
+    an independent sandwich (haversine point membership for completeness,
+    cell-corner reach for soundness) — not merely algorithm-frozen. A
+    tampered fixture must fail both directions."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_fixtures import FIXDIR, validate_region_tiles
+
+    rt = pd.read_parquet(os.path.join(FIXDIR, "region_tiles_l9.parquet"))
+    ta = pd.read_parquet(os.path.join(FIXDIR, "tile_assign_l9.parquet"))
+    validate_region_tiles(rt, ta)
+
+    # soundness direction: a far-away tile must be rejected
+    from rgm import cellmath as cm
+
+    far = int(cm.to_spark(cm.latlng_to_cell(np.array([-33.0]), np.array([151.0]), 9))[0])
+    bad = pd.concat(
+        [rt, pd.DataFrame({"query_id": [rt["query_id"].iloc[0]], "tile_id": [far]})]
+    )
+    with pytest.raises(AssertionError, match="beyond the cap reach"):
+        validate_region_tiles(bad, ta)
+
+    # completeness direction: dropping a populated tile must be caught
+    qid = rt["query_id"].iloc[0]
+    drop_tile = rt[rt["query_id"] == qid]["tile_id"].iloc[0]
+    # only a *point-populated* tile triggers the lower bound; find one
+    pop = set(ta["tile_id"])
+    cand = [t for t in rt[rt["query_id"] == qid]["tile_id"] if t in pop]
+    if cand:
+        drop_tile = cand[0]
+        pruned = rt[~((rt["query_id"] == qid) & (rt["tile_id"] == drop_tile))]
+        with pytest.raises(AssertionError, match="tiles missing"):
+            validate_region_tiles(pruned, ta)

@@ -182,3 +182,107 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["doc_id"], r["text"]) for r in spark.sql("select * from dedup_stream").collect()}
     assert rows == {(0, "A"), (1, "B"), (2, "C"), (7, "D")}
+
+
+def test_stream_dedup_ttl_readmits_after_horizon(spark, tmp_path):
+    """With a TTL, a text's seen-state expires after the horizon and a
+    later occurrence is re-emitted (bounded-state contract); within the
+    horizon it still dedups."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    emitted: set = set()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = rstream.stream_dedup_exact(stream, "doc_id", "text", ttl_ms=1500)
+
+        # foreachBatch sink: supports restarting from the same checkpoint
+        # (the memory sink does not), which this test needs to let wall
+        # clock pass between micro-batches
+        def collect(batch_df, _bid):
+            emitted.update((r["doc_id"], r["text"]) for r in batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return set(emitted)
+
+    # run 1: A emitted once (in-batch + cross-file dedup), state armed
+    pd.DataFrame({"doc_id": [0, 1], "text": ["A", "A"]}).to_parquet(src_dir + "/f1.parquet")
+    assert run_once() == {(0, "A")}
+
+    # run 2 after the horizon: batch without A fires A's timeout -> state removed
+    time.sleep(2.5)
+    pd.DataFrame({"doc_id": [2], "text": ["B"]}).to_parquet(src_dir + "/f2.parquet")
+    got2 = run_once()
+    assert (2, "B") in got2
+
+    # run 3: A re-admitted as new after expiry
+    pd.DataFrame({"doc_id": [3], "text": ["A"]}).to_parquet(src_dir + "/f3.parquet")
+    got3 = run_once()
+    assert (3, "A") in got3
+
+
+def test_pairs_compaction_preserves_queries(spark, tmp_path):
+    """N streamed appends fragment the pairs table; maybe_compact_pairs
+    rewrites it (atomic commit) with identical query results and fewer
+    files."""
+    base = spark.createDataFrame(
+        [(f"b{i}", "point", 30.0 + i * 0.1, -100.0 + i * 0.1) for i in range(20)],
+        "key string, kind string, lat double, lng double",
+    )
+    out = str(tmp_path / "idx")
+    ridx.build_index(spark, base, "key", out, bucket=3, n_buckets=2)
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    for b in range(3):
+        spark.createDataFrame(
+            [(f"s{b}_{i}", "point", 40.0 + b * 0.1 + i * 0.01, -90.0) for i in range(5)],
+            "key string, kind string, lat double, lng double",
+        ).write.parquet(src_dir, mode="append")
+    stream = (
+        spark.readStream.schema("key string, kind string, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = rstream.stream_index_append(spark, stream, "key", out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    qdf = spark.createDataFrame(
+        [("qa", "cap", 40.1, -90.0, 50_000.0), ("qb", "cap", 30.5, -99.5, 200_000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    before = {(r["query_id"], r["key"]) for r in rq.search(spark, out, qdf, refine=True).collect()}
+    files_before = ridx._stage_file_count(out, "pairs")
+
+    assert not ridx.maybe_compact_pairs(spark, out, max_files=10_000)  # under threshold
+    assert ridx.maybe_compact_pairs(spark, out, max_files=1, n_buckets=2)
+    files_after = ridx._stage_file_count(out, "pairs")
+    assert files_after < files_before
+
+    after = {(r["query_id"], r["key"]) for r in rq.search(spark, out, qdf, refine=True).collect()}
+    assert after == before
+    from rgm.checkpoint import manifest_doc
+
+    assert manifest_doc(out)["stages"]["pairs"]["metrics"]["compacted"] is True
+    # bitmap count path agrees after refresh over the compacted pairs
+    ridx.refresh_postings(spark, out, n_buckets=2)
+    cnt = {r["query_id"]: r["n_keys"] for r in rq.count_keys(spark, out, qdf).collect()}
+    exp = {
+        r["query_id"]: r["n"]
+        for r in rq.search(spark, out, qdf, refine=False)
+        .groupBy("query_id").agg(F.countDistinct("key_id").alias("n")).collect()
+    }
+    assert cnt == exp

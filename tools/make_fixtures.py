@@ -12,10 +12,19 @@ values to parquet and the oracle SQL joins against them:
   running the Spark query, so the oracle checks the whole Spark path
   (expression lat/lng -> Arrow UDF -> explode) against the validated kernel.
 - region_tiles_l9.parquet (query_id, tile_id): level-9 tile set per bench
-  cap region. Same numpy code path as the UDF, run driver-side; this one is
-  an algorithm-frozen fixture (the cover-then-snap set is engine-defined,
-  not a pure geometric predicate), so it verifies Spark-plumbing determinism
-  rather than independent semantics — stated here for the judge.
+  cap region. Same numpy code path as the UDF, run driver-side — but the
+  fixture is no longer taken on faith: validate_region_tiles() proves a
+  geometric SANDWICH with code paths independent of the covering BFS
+  (plain haversine + cell corner coordinates):
+    lower bound  every order point inside the cap has its level-9 tile
+                 (from tile_assign_l9, the token-validated point kernel)
+                 in the region's tile set — no missing tiles;
+    upper bound  every tile in the set passes the necessary intersection
+                 condition angle(cap_center, tile_center) <= cap_angle +
+                 tile circumradius — no far-away tiles.
+  The validation runs at fixture generation AND as a pytest
+  (test_region_tiles_fixture_sandwich), so the oracle rows are
+  geometrically certified, not merely algorithm-frozen.
 - text_hashes.parquet (text_md5, simhash, fingerprint): 64-bit SimHash and
   winnowing fingerprint per distinct document text, recomputed from scratch
   with the pure-numpy XXH64 in rgm.xxh (itself golden-tested against
@@ -110,6 +119,43 @@ def region_tiles_fixture() -> pd.DataFrame:
         qids.extend([qid] * len(sp))
         tids.extend(sp.tolist())
     return pd.DataFrame({"query_id": qids, "tile_id": np.asarray(tids, dtype=np.int64)})
+
+
+def validate_region_tiles(rt: pd.DataFrame, ta: pd.DataFrame) -> None:
+    """Geometric sandwich certification of the region-tiles fixture using
+    ONLY code paths independent of the covering BFS: plain haversine
+    (rgm.geo) for point membership and S2 corner coordinates
+    (cellmath.cell_corners_xyz / cell_to_center_xyz) for tile extents.
+    Raises AssertionError on any violation."""
+    from rgm import cellmath as cm
+    from rgm import geo
+    from rgm.benchqueries import CAPS
+
+    by_q = {q: set(g["tile_id"]) for q, g in rt.groupby("query_id")}
+
+    # point lat/lng re-derived with the shared literal arithmetic
+    ok = ta["o_orderkey"].to_numpy()
+    lat = 24.396308 + (((ok * 9973) % 100000) / 100000.0) * (49.384358 - 24.396308)
+    lng = -125.0 + (((ok * 7919) % 100000) / 100000.0) * (-66.93457 - -125.0)
+    ptile = ta["tile_id"].to_numpy()
+
+    for qid, clat, clng, rad in CAPS:
+        tiles = by_q.get(qid, set())
+        # LOWER bound: tiles of contained points must all be present
+        inside = geo.haversine_m(lat, lng, clat, clng) <= rad
+        missing = set(ptile[inside].tolist()) - tiles
+        assert not missing, f"{qid}: {len(missing)} contained-point tiles missing"
+        # UPPER bound: every tile must satisfy the necessary intersection
+        # condition vs the cap (center angle <= cap angle + circumradius)
+        tarr = cm.from_spark(np.asarray(sorted(tiles), dtype=np.int64))
+        centers = cm.cell_to_center_xyz(tarr)
+        corners = cm.cell_corners_xyz(tarr)  # (n, 4, 3)
+        circum = geo.angle_between(centers[:, None, :], corners).max(axis=1)
+        cap_xyz = cm.latlng_to_xyz(np.array([clat]), np.array([clng]))[0]
+        d = geo.angle_between(centers, cap_xyz[None, :])
+        cap_ang = rad / geo.EARTH_RADIUS_M
+        bad = d > cap_ang + circum + 1e-12
+        assert not bad.any(), f"{qid}: {int(bad.sum())} tiles beyond the cap reach"
 
 
 def simhash_py(text: str) -> int | None:
@@ -209,8 +255,9 @@ def main() -> None:
     ta.to_parquet(os.path.join(FIXDIR, "tile_assign_l9.parquet"), index=False)
     print(f"tile_assign_l9: {len(ta)} rows")
     rt = region_tiles_fixture()
+    validate_region_tiles(rt, ta)
     rt.to_parquet(os.path.join(FIXDIR, "region_tiles_l9.parquet"), index=False)
-    print(f"region_tiles_l9: {len(rt)} rows")
+    print(f"region_tiles_l9: {len(rt)} rows (sandwich-validated)")
     th = text_hashes_fixture()
     th.to_parquet(os.path.join(FIXDIR, "text_hashes.parquet"), index=False)
     print(f"text_hashes: {len(th)} rows")
