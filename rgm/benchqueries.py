@@ -175,6 +175,39 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_BATCH_N = 60
+KNN_BATCH_K = 5
+_KNNB_LAT = "25.0 + (({i} * 97) % 1000) / 1000.0 * 24.0"
+_KNNB_LNG = "-124.0 + (({i} * 53) % 1000) / 1000.0 * 57.0"
+
+
+def q_spatial_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED kNN path under the oracle gate: batch_threshold is
+    forced below the batch size, so the query set is never collected and
+    round state spills to parquet (rgm.query._knn_distributed)."""
+    idx = index_path(spark, sf_dir)
+    qdf = spark.range(KNN_BATCH_N).select(
+        F.concat(F.lit("k"), F.col("id")).alias("query_id"),
+        F.expr(_KNNB_LAT.format(i="id")).alias("lat"),
+        F.expr(_KNNB_LNG.format(i="id")).alias("lng"),
+    )
+    out = rq.knn(spark, idx, qdf, k=KNN_BATCH_K, r0_m=20_000, batch_threshold=10)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("key").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", F.col("key").alias("image_id"), "rank")
+    )
+
+
+def q_dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production wrapper (exact-dup collapse -> capped MinHash-LSH):
+    pairs are between min-id representatives of distinct texts."""
+    from . import pipeline as rpl
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rpl.minhash_dedup(docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_T)
+
+
 def q_tile_assign_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_df(spark, sf_dir)
     return pts.select(
@@ -365,6 +398,7 @@ QUERIES = {
     "spatial_contains_polygon": q_spatial_contains_polygon,
     "spatial_count_cap": q_spatial_count_cap,
     "spatial_knn": q_spatial_knn,
+    "spatial_knn_batch": q_spatial_knn_batch,
     "tile_assign_grid": q_tile_assign_grid,
     "tile_assign_s2": q_tile_assign_s2,
     "tile_counts_s2": q_tile_counts_s2,
@@ -372,6 +406,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_pipeline": q_dedup_minhash_pipeline,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -566,6 +601,26 @@ ORACLES = {
         )
         SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_K}
     """,
+    # the distributed-kNN batch: same brute-force ranking oracle as
+    # spatial_knn, query points derived from the shared literal arithmetic
+    "spatial_knn_batch": f"""
+        WITH pts AS ({_PTS_SQL}),
+        q AS (
+          SELECT 'k' || CAST(i AS VARCHAR) AS query_id,
+                 {_KNNB_LAT.format(i="i")} AS qlat,
+                 {_KNNB_LNG.format(i="i")} AS qlng
+          FROM range({KNN_BATCH_N}) t(i)
+        ),
+        ranked AS (
+          SELECT q.query_id, p.image_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_HAVERSINE_SQL} ASC, p.image_id ASC
+                 ) AS rank
+          FROM pts p, q
+        )
+        SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_BATCH_K}
+    """,
     "tile_assign_grid": f"""
         WITH pts AS ({_PTS_SQL})
         SELECT image_id,
@@ -595,6 +650,34 @@ ORACLES = {
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    # production wrapper oracle: exact n-gram Jaccard over the min-id
+    # representative of each DISTINCT text (the wrapper's exact-dup
+    # collapse). The wrapper's bucket cap (65536) cannot trip here — band
+    # buckets hash into 2^64 space and the corpus is collapse-deduped — so
+    # the uncapped SQL is the exact mirror; recall of banding itself is
+    # the same 2e-4 S-curve bound as dedup_minhash_lsh
+    "dedup_minhash_pipeline": f"""
+        WITH reps AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        ),
+        grams AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, g.i, {JACCARD_N}) AS gram
+          FROM reps d, generate_series(1, 4096) g(i)
+          WHERE g.i <= greatest(length(d.text) - {JACCARD_N - 1}, 1)
+            AND length(substring(d.text, g.i, {JACCARD_N})) = {JACCARD_N}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM grams a JOIN grams b USING (gram)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_inter / (sa.n + sb.n - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_T}
+    """,
     # MinHash-LSH is deterministic (seeded params, xxhash64); at 16 bands x
     # 4 rows a j>=0.8 pair is missed with prob ~2e-4, and on this corpus the
     # LSH output EQUALS the exact n-gram Jaccard join (verified at every sf)
