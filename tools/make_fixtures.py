@@ -40,6 +40,12 @@ values to parquet and the oracle SQL joins against them:
   assignment, probing and ranking in DuckDB — the same mirroring discipline
   as the hyperplane LSH bank (_emb_lsh_oracle_sql).
 
+- image_phash.parquet (image_id, phash): perceptual hashes of the
+  deterministic planted-variant image corpus, recomputed through the same
+  encode/decode round trip the Spark kernel runs (see image_phash_fixture
+  docstring for the disclosure); the oracle brute-forces ALL pairs with
+  popcount in DuckDB, independently checking the banded candidate join.
+
 Regenerate with `python tools/make_fixtures.py` if /root/testdata changes.
 """
 
@@ -249,6 +255,37 @@ def ivf_centroids_fixture() -> pd.DataFrame:
     )
 
 
+def image_phash_fixture() -> pd.DataFrame:
+    """(image_id, phash) for the deterministic planted-variant image
+    corpus the dedup_image_phash driver query synthesizes (rgm.imagededup.
+    images_with_variants). Hashes are recomputed here through the same
+    encode -> decode -> avg_phash round trip the Spark query's
+    phash_from_bytes kernel runs (shared deterministic codec code,
+    disclosed — the IVF-centroid precedent); the PAIRING semantics are
+    what the oracle then verifies independently, by brute-force popcount
+    over all pairs in DuckDB vs the engine's banded candidate join."""
+    from rgm import imagededup as rid
+    from rgm import images as rim
+    from rgm.benchqueries import IMG_DEDUP_EVERY, IMG_DEDUP_N
+
+    ids, hashes = [], []
+
+    def add(image_id: str, px: np.ndarray, fmt: str) -> None:
+        w, h = px.shape[1], px.shape[0]
+        dec = rim.decode_image(rim.encode_image(px, fmt), fmt, w, h)
+        ids.append(image_id)
+        hashes.append(rim.avg_phash(dec))
+
+    for idx in range(IMG_DEDUP_N):
+        w = (16, 32, 64)[idx % 3]
+        h = (16, 32, 64)[(idx // 3) % 3]
+        fmt = rim.FORMATS[idx % len(rim.FORMATS)]
+        add(f"img_{idx:012d}", rim.synth_pixels(idx, w, h), fmt)
+        if idx % IMG_DEDUP_EVERY == 0:
+            add(f"var_{idx:012d}", rid.variant_pixels(idx, w, h), fmt)
+    return pd.DataFrame({"image_id": ids, "phash": np.asarray(hashes, dtype=np.int64)})
+
+
 def main() -> None:
     os.makedirs(FIXDIR, exist_ok=True)
     ta = tile_assign_fixture()
@@ -264,6 +301,9 @@ def main() -> None:
     iv = ivf_centroids_fixture()
     iv.to_parquet(os.path.join(FIXDIR, "ivf_centroids.parquet"), index=False)
     print(f"ivf_centroids: {len(iv)} rows")
+    ip = image_phash_fixture()
+    ip.to_parquet(os.path.join(FIXDIR, "image_phash.parquet"), index=False)
+    print(f"image_phash: {len(ip)} rows")
 
 
 if __name__ == "__main__":
