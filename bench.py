@@ -208,6 +208,20 @@ def main() -> None:
     timed("images_fidelity", img_fid)
     timed("images_features", lambda: rimg.extract_features(imgs).count())
 
+    # image near-dup at bench scale (the pyspark x image dedup axis):
+    # decode -> phash -> pigeonhole Hamming banding over a planted-variant
+    # corpus sized from the image workload. Not in the headline (r1-r3
+    # comparability); reported per-query like the other extras.
+    import rgm.imagededup as rid
+
+    n_nd_base = max(n_img // 2, 1000)
+
+    def img_neardup():
+        corpus = rid.images_with_variants(spark, n_nd_base, variant_every=4)
+        return rid.image_neardup_pairs(corpus, max_hamming=6).count()
+
+    timed("images_neardup", img_neardup)
+
     # -- driver-contract spatial queries -------------------------------------
     timed("contains_cap8", lambda: _count(bq.q_spatial_contains_cap(spark, sf_dir)))
     timed("contains_polygon", lambda: _count(bq.q_spatial_contains_polygon(spark, sf_dir)))

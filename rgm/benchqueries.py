@@ -268,6 +268,15 @@ IVF_NPROBE = 4
 IVF_ITERS = 5
 IVF_SAMPLE = 65_536
 
+# image near-dup corpus: IMG_DEDUP_N deterministic base images plus a
+# planted perturbed variant for every IMG_DEDUP_EVERY-th base (500 images
+# total) — synthesized identically by the Spark query
+# (rgm.imagededup.images_with_variants) and the oracle fixture
+# (tools/make_fixtures.image_phash_fixture)
+IMG_DEDUP_N = 400
+IMG_DEDUP_EVERY = 4
+IMG_DEDUP_MAXHAM = 6
+
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -317,6 +326,11 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE: the DuckDB oracle's centroid fixture is trained on the sf0.01
+    embeddings — the sf the driver correctness gate runs at. At any other
+    sf the engine trains on the corpus it is given (correct behavior) and
+    so cannot match the pinned fixture (ADVICE r3 #4); tools/checkoracle.py
+    skips the comparison there."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").cast("string").alias("query_id"),
@@ -326,6 +340,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsim.ivf_search(spark, idx, queries, ANN_K, nprobe=IVF_NPROBE).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup under the oracle gate: synthesize the
+    planted-variant corpus distributed, re-derive every phash from the
+    ENCODED bytes (decode -> luma means -> hash, Arrow-batched
+    mapInPandas), then the exact pigeonhole Hamming-banded pair join.
+    The corpus is sf-independent (deterministic synthetic images — the
+    driver runs this at sf0.01; the fixture holds the same 500 hashes);
+    the oracle brute-forces ALL pairs with popcount, so the banded
+    candidate generation is verified independently."""
+    from . import imagededup as rid
+
+    imgs = rid.images_with_variants(spark, IMG_DEDUP_N, IMG_DEDUP_EVERY)
+    return rid.image_neardup_pairs(imgs, max_hamming=IMG_DEDUP_MAXHAM)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +438,7 @@ QUERIES = {
     "dedup_minhash_pipeline": q_dedup_minhash_pipeline,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_image_phash": q_dedup_image_phash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_stats": q_text_stats,
@@ -463,6 +493,7 @@ _FIXDIR = os.path.join(
 _TILE_FIX = os.path.join(_FIXDIR, "tile_assign_l9.parquet")
 _REGT_FIX = os.path.join(_FIXDIR, "region_tiles_l9.parquet")
 _TEXT_FIX = os.path.join(_FIXDIR, "text_hashes.parquet")
+_IMG_FIX = os.path.join(_FIXDIR, "image_phash.parquet")
 
 
 def _emb_lsh_oracle_sql() -> str:
@@ -701,6 +732,18 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
     "dedup_embedding": _emb_lsh_oracle_sql(),
+    # phash values recomputed execution-independently through the shared
+    # deterministic codec round trip (tools/make_fixtures.image_phash_fixture
+    # — the IVF-centroid precedent); the oracle brute-forces ALL pairs with
+    # popcount, so it independently verifies the banded candidate join
+    # (exact by pigeonhole: distance <= 6 < 8 chunks implies a shared chunk)
+    "dedup_image_phash": f"""
+        WITH s AS (SELECT image_id, phash FROM read_parquet('{_IMG_FIX}'))
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {IMG_DEDUP_MAXHAM}
+    """,
     "ann_ivf_topk": _IVF_ORACLE_SQL,
     "text_fingerprint": f"""
         SELECT d.doc_id, f.fingerprint

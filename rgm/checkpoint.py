@@ -130,3 +130,9 @@ class Manifest:
         with open(tmp, "w") as f:
             json.dump(self.doc, f, indent=2, sort_keys=True)
         os.replace(tmp, self.path)
+        # same-process invalidation MUST NOT rely on mtime: two _flush
+        # calls within one filesystem timestamp tick would let manifest_doc
+        # serve the older doc (ADVICE r3 — index_bucket returning a stale
+        # bucket quantizes queries wrong). Drop the entry; the next read
+        # re-parses. Cross-process coherence stays mtime-based.
+        _DOC_CACHE.pop(self.path, None)

@@ -341,6 +341,58 @@ def points_to_own_verts_maxdist_m(
     return np.maximum.reduceat(np.sqrt(wy**2 + wx**2), offsets[:-1])
 
 
+def polygons_edges_cross_ring(
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+    qring: np.ndarray,
+) -> np.ndarray:
+    """Per-ring bool (n,): does ANY edge of ragged ring i intersect (incl.
+    touch) any edge of the single ring ``qring`` ((M, 2) lat/lng)? The
+    batched form of polygons_edges_cross — one segments_cross pass over
+    all E own-ring edges x M query edges, then a segment-any per ring."""
+    vy1, vx1, vy2, vx2, _ = _own_ring_edges(flat_vy, flat_vx, offsets)
+    a1 = np.stack([vy1, vx1], axis=-1)
+    a2 = np.stack([vy2, vx2], axis=-1)
+    b1 = np.asarray(qring, dtype=np.float64)
+    b2 = np.roll(b1, -1, axis=0)
+    hit = segments_cross(
+        a1[:, None, :], a2[:, None, :], b1[None, :, :], b2[None, :, :]
+    ).any(axis=1)
+    return np.add.reduceat(hit.astype(np.int64), offsets[:-1]) > 0
+
+
+def polygons_intersect_ring(
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+    qring: np.ndarray,
+) -> np.ndarray:
+    """Vectorized polygon_intersects_polygon(ring_i, qring) for a ragged
+    batch of rings vs ONE query ring: edges cross, or ring i's first
+    vertex is inside qring, or qring's first vertex is inside ring i —
+    element-for-element equal to the scalar form (same sub-predicates)."""
+    qring = np.asarray(qring, dtype=np.float64)
+    n = len(offsets) - 1
+    firsts = offsets[:-1]
+    cross = polygons_edges_cross_ring(flat_vy, flat_vx, offsets, qring)
+    a_in_q = points_in_polygon(flat_vy[firsts], flat_vx[firsts], qring)
+    q_in_a = points_in_own_polygon(
+        np.full(n, qring[0, 0]), np.full(n, qring[0, 1]),
+        flat_vy, flat_vx, offsets,
+    )
+    return cross | a_in_q | q_in_a
+
+
+def polygons_inside_ring(
+    flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,
+    qring: np.ndarray,
+) -> np.ndarray:
+    """Vectorized polygon_inside_polygon(ring_i, qring): ALL of ring i's
+    vertices inside qring and no edge intersections (touching the boundary
+    is NOT contained — same engine semantic as the scalar form)."""
+    qring = np.asarray(qring, dtype=np.float64)
+    v_in = points_in_polygon(flat_vy, flat_vx, qring)
+    all_in = np.add.reduceat((~v_in).astype(np.int64), offsets[:-1]) == 0
+    return all_in & ~polygons_edges_cross_ring(flat_vy, flat_vx, offsets, qring)
+
+
 def points_in_own_polygon(
     py: np.ndarray, px: np.ndarray,
     flat_vy: np.ndarray, flat_vx: np.ndarray, offsets: np.ndarray,

@@ -100,3 +100,14 @@ def xxh64_bytes(items: list[bytes], seed: int = SPARK_SEED) -> np.ndarray:
 
 def xxh64_str(items: list[str], seed: int = SPARK_SEED) -> np.ndarray:
     return xxh64_bytes([s.encode("utf-8") for s in items], seed)
+
+
+def xxh64_int64(values, seed: int = SPARK_SEED) -> np.ndarray:
+    """XXH64 of each int64 value's 8-byte little-endian representation ->
+    int64[N] — bit-identical to Spark's ``xxhash64`` on a BIGINT column
+    (Spark's hashLong specialization is the one-lane <32-byte path over the
+    LE bytes; golden-tested in tests/test_training_ops.py). Used by
+    fixture generators to mirror the engine's deterministic hash samples
+    (e.g. IVF training) without a Spark runtime."""
+    a = np.ascontiguousarray(np.asarray(values, dtype=np.int64))
+    return xxh64_same_len(a.view(np.uint8).reshape(-1, 8), seed).view(np.int64)

@@ -74,8 +74,19 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
 
     results: dict[str, dict] = {}
+    # fixture-pinned oracles: ann_ivf_topk's oracle re-executes the probe
+    # from fixtures/ivf_centroids.parquet, which is trained on the sf0.01
+    # embeddings (the sf the driver gate runs at). The sf0.001 embeddings
+    # are a DIFFERENT 500-row table, so at any other sf the engine (which
+    # correctly trains on the corpus it is given) mismatches the fixture
+    # BY CONSTRUCTION (ADVICE r3 #4) — skip rather than report a bogus red.
+    sf_pinned = {"ann_ivf_topk": "/root/testdata/sf0.01"}
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        pin = sf_pinned.get(name)
+        if pin is not None and os.path.realpath(sf_dir) != os.path.realpath(pin):
+            print(f"{name:28s} SKIP      oracle fixture pinned to {pin}")
             continue
         res = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}

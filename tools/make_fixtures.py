@@ -241,12 +241,22 @@ def ivf_centroids_fixture() -> pd.DataFrame:
     from rgm.similarity import train_centroids
 
     # the driver gate runs at sf0.01 — train on exactly the sample
-    # build_ivf_index collects there: the IVF_SAMPLE lowest-vec_id vectors,
-    # float32 widened to float64 (exact)
+    # build_ivf_index collects there (rgm.similarity.hash_sample): rows
+    # whose xxhash64(vec_id) % m == 0 (m = n // IVF_SAMPLE; m == 1 at this
+    # corpus size, so every row), id-sorted, float32 widened to float64
+    # (exact). The hash is the pure-numpy XXH64 mirror of Spark's
+    # xxhash64-on-BIGINT (rgm.xxh.xxh64_int64, golden-tested), so the
+    # fixture stays execution-independent of the Spark runtime.
     t = pq.read_table(
         os.path.join("/root/testdata/sf0.01", "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     ).to_pandas()
+    m = max(1, len(t) // IVF_SAMPLE)
+    if m > 1:
+        from rgm.xxh import xxh64_int64
+
+        # numpy int64 % positive m matches Spark's pmod (non-negative)
+        t = t[xxh64_int64(t["vec_id"].to_numpy()) % m == 0]
     t = t.sort_values("vec_id", kind="mergesort").head(IVF_SAMPLE)
     sample = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
     cents = train_centroids(sample, IVF_N_CELLS, IVF_ITERS)

