@@ -68,6 +68,16 @@ _PTS_SQL = (
     f"{_LAT_EXPR} AS lat, {_LNG_EXPR} AS lng FROM orders"
 )
 
+# cap-payload radius (meters) for the region-keyed index: same shared-literal
+# discipline, so Spark refinement and the SQL oracle compute identical doubles
+_PRAD_EXPR = "500.0 + ((o_orderkey * 6101) % 100000) / 100000.0 * 40000.0"
+
+_CAPPTS_SQL = (
+    "SELECT CAST(o_orderkey AS VARCHAR) AS image_id, "
+    f"{_LAT_EXPR} AS lat, {_LNG_EXPR} AS lng, {_PRAD_EXPR} AS radius_m "
+    "FROM orders"
+)
+
 
 def _caps_values_sql() -> str:
     rows = ", ".join(f"('{q}', {a!r}, {b!r}, {r!r})" for q, a, b, r in CAPS)
@@ -106,6 +116,33 @@ def index_path(spark: SparkSession, sf_dir: str) -> str:
         ridx.build_index(spark, pts, "key", out, bucket=3, n_buckets=16, resume=True)
         _INDEX_CACHE[sf_dir] = out
     return _INDEX_CACHE[sf_dir]
+
+
+_REGION_INDEX_CACHE: dict[str, str] = {}
+
+
+def region_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Cap-keyed index: every order becomes a circular region (center =
+    the shared point arithmetic, radius = ``_PRAD_EXPR``). Exercises the
+    region-payload covering + region-vs-region refinement path — the real
+    Intersects the reference stubs at
+    /root/reference/cpp/src/RoaringGeoMapReader.cpp:93-95."""
+    if sf_dir not in _REGION_INDEX_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "rgm_regidx_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        caps = orders.select(
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.lit("cap").alias("kind"),
+            F.expr(_LAT_EXPR).alias("lat"),
+            F.expr(_LNG_EXPR).alias("lng"),
+            F.expr(_PRAD_EXPR).alias("radius_m"),
+        )
+        ridx.build_index(spark, caps, "key", out, bucket=3, n_buckets=16, resume=True)
+        _REGION_INDEX_CACHE[sf_dir] = out
+    return _REGION_INDEX_CACHE[sf_dir]
 
 
 def _caps_df(spark: SparkSession) -> DataFrame:
@@ -155,6 +192,23 @@ def q_spatial_contains_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spatial_contains_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = index_path(spark, sf_dir)
     out = rq.search(spark, idx, _polys_df(spark), refine=True)
+    return out.select("query_id", F.col("key").alias("image_id"))
+
+
+def q_spatial_intersects_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-vs-region Intersects under the oracle gate (C2/A21): cap
+    payloads indexed, cap queries, exact center-distance refinement
+    (d <= q_radius + p_radius)."""
+    idx = region_index_path(spark, sf_dir)
+    out = rq.search(spark, idx, _caps_df(spark), refine=True, refine_mode="intersects")
+    return out.select("query_id", F.col("key").alias("image_id"))
+
+
+def q_spatial_contains_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-vs-region Contains: query cap fully contains the payload cap
+    (d + p_radius <= q_radius)."""
+    idx = region_index_path(spark, sf_dir)
+    out = rq.search(spark, idx, _caps_df(spark), refine=True, refine_mode="contains")
     return out.select("query_id", F.col("key").alias("image_id"))
 
 
@@ -425,6 +479,8 @@ QUERIES = {
     "spatial_contains_cap": q_spatial_contains_cap,
     "spatial_contains_rect": q_spatial_contains_rect,
     "spatial_contains_polygon": q_spatial_contains_polygon,
+    "spatial_intersects_region": q_spatial_intersects_region,
+    "spatial_contains_region": q_spatial_contains_region,
     "spatial_count_cap": q_spatial_count_cap,
     "spatial_knn": q_spatial_knn,
     "spatial_knn_batch": q_spatial_knn_batch,
@@ -613,6 +669,22 @@ ORACLES = {
         FROM pts p, {_rects_values_sql()}
         WHERE p.lat >= q.lat_lo AND p.lat <= q.lat_hi
           AND p.lng >= q.lng_lo AND p.lng <= q.lng_hi
+    """,
+    # region-vs-region: payload caps from the shared center+radius literals;
+    # predicates mirror rgm/udfs.py region_refine (d <= qr+pr / d+pr <= qr)
+    # with identical double grouping (x2 scalings are exact, so the
+    # haversine product rounds identically under either factor order)
+    "spatial_intersects_region": f"""
+        WITH pts AS ({_CAPPTS_SQL})
+        SELECT q.query_id, p.image_id
+        FROM pts p, {_caps_values_sql()}
+        WHERE {_HAVERSINE_SQL} <= q.radius + p.radius_m
+    """,
+    "spatial_contains_region": f"""
+        WITH pts AS ({_CAPPTS_SQL})
+        SELECT q.query_id, p.image_id
+        FROM pts p, {_caps_values_sql()}
+        WHERE {_HAVERSINE_SQL} + p.radius_m <= q.radius
     """,
     "spatial_count_cap": f"""
         WITH pts AS ({_PTS_SQL})
