@@ -214,7 +214,12 @@ def main() -> None:
     # comparability); reported per-query like the other extras.
     import rgm.imagededup as rid
 
-    n_nd_base = max(n_img // 2, 1000)
+    # corpus sized at n_img/8: the synthetic phash space is low-entropy
+    # (~0.1% of pairs land within hamming 6), so the TRUE pair output grows
+    # quadratically with corpus size — 375k images => 62M real pairs. n/8
+    # keeps the stage data-proportional (~4M pairs at the scaling config)
+    # without letting pair materialization dominate the whole bench wall.
+    n_nd_base = max(n_img // 8, 1000)
 
     def img_neardup():
         corpus = rid.images_with_variants(spark, n_nd_base, variant_every=4)

@@ -276,47 +276,26 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``chunks`` 8-bit chunks; any pair
-    within distance d < chunks shares at least one exact chunk -> candidate
-    equi-join on (chunk_idx, chunk_value), then exact popcount filter.
+    Multi-index pigeonhole banding (Manku et al. WWW'07): any pair within
+    distance d matches at least ``chunks - d`` chunks exactly -> candidate
+    equi-join on 2-chunk combination keys (see
+    rgm.imagededup.hash_neardup_pairs), then exact popcount filter.
     Banding is EXACT (no recall loss) with the default max_bucket_size=None.
     The OPT-IN cap drops buckets larger than it before the quadratic pair
     expansion — ONLY sound when sized so ordinary buckets never hit it:
     a chunk bucket holds ~N/2^chunk_bits docs on a random corpus (N/256
     here), so the cap must be >> that (see rgm.pipeline.auto_bucket_cap) or
     it silently deletes ordinary pairs; any oracle must mirror it."""
+    # banding is the generic 64-bit operator (multi-index pigeonhole,
+    # combo=2 by default here: chunks - max_hamming = 5 >= 2) — one
+    # implementation, shared with image phash near-dup
+    from .imagededup import hash_neardup_pairs
+
     sh = simhash(df, id_col, text_col)
-    chunk_bits = 64 // chunks
-    mask = (1 << chunk_bits) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("ci"),
-            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
-        )
-        for c in range(chunks)
-    ]
-    ch = sh.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
-        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    return hash_neardup_pairs(
+        sh, id_col, "simhash",
+        max_hamming=max_hamming, chunks=chunks, max_bucket_size=max_bucket_size,
     )
-    if max_bucket_size is not None:
-        bsz = ch.groupBy("ci", "cv").agg(F.count("*").alias("bn"))
-        ch = ch.join(
-            bsz.filter(F.col("bn") <= max_bucket_size).select("ci", "cv"),
-            on=["ci", "cv"],
-            how="inner",
-        )
-    a = ch.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv")
-    b = ch.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv")
-    cand = (
-        a.join(b, on=["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 def hyperplanes(

@@ -10,13 +10,19 @@ generic operator, and ``image_neardup_pairs`` composes it with the real
 decode -> phash kernel so the whole image path (bytes -> pixels -> hash ->
 pairs) runs distributed.
 
-Scale notes (100 TB): candidate generation is an equi-join on
-(chunk_idx, chunk_value) — never an all-pairs join; with ``chunks`` 8-bit
-chunks a bucket holds ~N/2^8 docs on hash-distributed corpora and the
-pigeonhole guarantee (distance d < chunks implies >= 1 shared chunk)
-keeps banding EXACT, so the oracle can brute-force-verify at test scale.
-The decode/phash stage is an Arrow-batched mapInPandas over the binary
-column — per-image numpy work, no driver materialization.
+Scale notes (100 TB): candidate generation is an equi-join on a
+chunk-combination key — never an all-pairs join. The pigeonhole bound is
+used at full strength: distance d touches at most d chunks, so at least
+``chunks - d`` chunks match EXACTLY, and banding joins on combinations
+of ``combo <= chunks - d`` chunks (the multi-index scheme of Manku,
+Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
+combo=2 (auto whenever the distance budget allows) widens the bucket key
+from 8 to 16 bits: uniform-corpus buckets shrink from N/2^8 to N/2^16
+and candidate volume by ~70x — single-chunk banding on the 375k-image
+bench corpus generated ~2e9 candidate pairs (quadratic wall), two-chunk
+~3e7. Banding stays EXACT, so the oracle brute-force-verifies at test
+scale. The decode/phash stage is an Arrow-batched mapInPandas over the
+binary column — per-image numpy work, no driver materialization.
 
 Reference parity: the reference has no image pipeline (C++ spatial index
 only); this extends the engine along the graft axes. Hamming banding
@@ -40,41 +46,63 @@ def hash_neardup_pairs(
     max_hamming: int = 6,
     chunks: int = 8,
     max_bucket_size: int | None = None,
+    combo: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose 64-bit ``hash_col`` values differ in at
     most ``max_hamming`` bits, for ANY precomputed hash (phash, simhash,
     fingerprints).
 
-    Pigeonhole banding: split 64 bits into ``chunks`` equal chunks; any
-    pair at distance d < chunks shares at least one exact chunk, so the
-    candidate set from the (chunk_idx, chunk_value) equi-join is a
-    superset of all true pairs — banding is EXACT, the popcount filter
-    does the rest, all JVM-side expressions.
+    Multi-index pigeonhole banding: split 64 bits into ``chunks`` equal
+    chunks; a pair at distance d differs in at most d chunks, so at least
+    ``chunks - d`` chunks match exactly — the candidate equi-join keys on
+    combinations of ``combo`` chunks and stays a SUPERSET of all true
+    pairs whenever ``combo <= chunks - max_hamming`` (banding is EXACT;
+    the popcount filter does the rest, all JVM-side expressions).
+
+    ``combo`` defaults to 2 when the distance budget allows (else 1):
+    a 2-chunk key has 2x the bits, so uniform-corpus buckets hold
+    ~N/2^(2*chunk_bits) rows instead of ~N/2^chunk_bits — the difference
+    between a quadratic candidate blowup and a linear pass on
+    multi-million-row corpora. C(chunks, combo) keys per row bound the
+    explode factor (28 for the 8C2 default).
 
     ``max_bucket_size`` is OPT-IN (default None = complete recall): a cap
     drops every pair inside an oversized bucket, which is only sound for
     degenerate exact-duplicate clusters (see rgm.pipeline.auto_bucket_cap
     for corpus-scaled sizing); any oracle must mirror it.
     """
-    if not 0 <= max_hamming < chunks:
-        raise ValueError(
-            f"pigeonhole requires max_hamming < chunks, got {max_hamming} >= {chunks}"
-        )
     if 64 % chunks != 0:
         raise ValueError(f"chunks must divide 64, got {chunks}")
+    if combo is None:
+        combo = max(1, min(2, chunks - max_hamming))
+    if not 1 <= combo <= chunks:
+        raise ValueError(f"combo must be in [1, {chunks}], got {combo}")
+    if not 0 <= max_hamming <= chunks - combo:
+        raise ValueError(
+            "pigeonhole requires max_hamming <= chunks - combo, got "
+            f"max_hamming={max_hamming}, chunks={chunks}, combo={combo}"
+        )
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("ci"),
+
+    def _cv(c: int):
+        return (
             F.shiftrightunsigned(F.col(hash_col), c * chunk_bits)
             .bitwiseAND(F.lit(mask))
-            .alias("cv"),
         )
-        for c in range(chunks)
-    ]
+
+    # one packed 64-bit key per chunk combination: chunk values
+    # concatenated bitwise (combo * chunk_bits <= 64 by construction)
+    from itertools import combinations
+
+    combo_cols = []
+    for i, cs in enumerate(combinations(range(chunks), combo)):
+        expr = _cv(cs[0])
+        for c in cs[1:]:
+            expr = F.shiftleft(expr, chunk_bits).bitwiseOR(_cv(c))
+        combo_cols.append(F.struct(F.lit(i).alias("ci"), expr.alias("cv")))
     ch = df.select(
-        id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
+        id_col, hash_col, F.explode(F.array(*combo_cols)).alias("c")
     ).select(
         id_col, hash_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
@@ -130,12 +158,13 @@ def image_neardup_pairs(
     max_hamming: int = 6,
     chunks: int = 8,
     max_bucket_size: int | None = None,
+    combo: int | None = None,
 ) -> DataFrame:
     """End-to-end image near-dup: decode bytes -> phash -> Hamming-banded
     pair join. Returns (id_a, id_b, hamming)."""
     hashed = phash_from_bytes(df)
     return hash_neardup_pairs(
-        hashed, "image_id", "phash", max_hamming, chunks, max_bucket_size
+        hashed, "image_id", "phash", max_hamming, chunks, max_bucket_size, combo
     )
 
 

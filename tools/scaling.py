@@ -158,7 +158,7 @@ def main() -> None:
     # per-interleaved-pair efficiency: each pair ran in the same ~host
     # window, so the spread shows how much the shared VM's minute-scale
     # capacity swings move the measurement
-    heavy_q = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features") if q in lows[0]["queries"]]
+    heavy_q = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features", "images_neardup") if q in lows[0]["queries"]]
     pairs = []
     for i, (l, h) in enumerate(zip(lows, highs)):
         e = round((l["value"] / h["value"]) / ratio0, 3)
@@ -177,7 +177,7 @@ def main() -> None:
     eff_total = (lo["value"] / hi["value"]) / ratio
     eff_best_run = (lo["value_best_run"] / hi["value_best_run"]) / ratio
     # heavy-work efficiency: the stages that dominate a real 100 TB run
-    heavy = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features") if q in lo["queries"]]
+    heavy = [q for q in ("index_build", "region_index_build_50k", "images_synth", "images_fidelity", "images_features", "images_neardup") if q in lo["queries"]]
     t_lo_h = sum(lo["queries"][q] for q in heavy)
     t_hi_h = sum(hi["queries"][q] for q in heavy)
     eff_heavy = (t_lo_h / t_hi_h) / ratio if t_hi_h else float("nan")
