@@ -73,6 +73,44 @@ def _kernel_work(n: int) -> None:
     )
 
 
+def _image_work(args: tuple) -> int:
+    """Sustained image kernel (synth -> encode -> decode -> phash), the
+    exact per-row work of the bench's dominant stages, run for a fixed
+    wall — measures what the box delivers on THIS workload without any
+    Spark/Arrow IPC in the path."""
+    seed, secs = args
+    import time as _t
+
+    sys.path.insert(0, ROOT)
+    from rgm import images as rim
+
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < secs:
+        px = rim.synth_pixels(seed * 100_000 + n, 64, 64, 42)
+        fmt = rim.FORMATS[n % len(rim.FORMATS)]
+        rim.avg_phash(rim.decode_image(rim.encode_image(px, fmt), fmt, 64, 64))
+        n += 1
+    return n
+
+
+def sustained_image_ceiling(n_low: int, n_high: int, secs: float = 8.0) -> float:
+    """Second per-window ceiling: the image kernel under multiprocessing.
+    Distinguishes 'the VM has no spare cores' from 'the Spark IPC path is
+    bandwidth-bound': measured 4.19x (eff 1.05) from 2->8 workers in the
+    same session where the Spark image stages scaled ~2.1x — the per-task
+    compute is core-parallel; the residual is Arrow/socket/page copies on
+    a shared memory bus."""
+    import multiprocessing as mp
+
+    def rate(workers: int) -> float:
+        with mp.Pool(workers) as p:
+            ns = p.map(_image_work, [(i, secs) for i in range(workers)])
+        return sum(ns) / secs
+
+    return (rate(n_high) / rate(n_low)) / (n_high / n_low)
+
+
 def _merge_min(runs: list[dict]) -> dict:
     """Merge interleaved repetitions of one level. Reports BOTH:
     - value_best_run: best single whole-run headline wall (a wall some run
@@ -126,7 +164,7 @@ def main() -> None:
             for line in f:
                 r = json.loads(line)
                 if r.get("kind") == "ceiling":
-                    ceilings.append(r["value"])
+                    ceilings.append({"cov": r["value"], "img": r.get("image_kernel")})
                 elif r.get("sf") == sf_dir and r.get("cpus") == n_low:
                     lows.append(r)
                 elif r.get("sf") == sf_dir and r.get("cpus") == n_high:
@@ -139,14 +177,15 @@ def main() -> None:
         # so each pair's efficiency can be read against what the VM could
         # deliver at that moment
         c = round(raw_kernel_ceiling(n_low, n_high), 3)
-        ceilings.append(c)
+        ci = round(sustained_image_ceiling(n_low, n_high), 3)
+        ceilings.append({"cov": c, "img": ci})
         with open(runs_log, "a") as f:
             f.write(json.dumps(lows[-1]) + "\n")
             f.write(json.dumps(highs[-1]) + "\n")
-            f.write(json.dumps({"kind": "ceiling", "value": c}) + "\n")
+            f.write(json.dumps({"kind": "ceiling", "value": c, "image_kernel": ci}) + "\n")
         print(
             f"rep {rep}: low={lows[-1]['value']}s high={highs[-1]['value']}s "
-            f"ceiling={c}",
+            f"ceiling={c} image_kernel_ceiling={ci}",
             file=sys.stderr,
         )
     if not lows or not highs:
@@ -165,9 +204,11 @@ def main() -> None:
         tlh = sum(l["queries"][q] for q in heavy_q)
         thh = sum(h["queries"][q] for q in heavy_q)
         eh = round((tlh / thh) / ratio0, 3) if thh else float("nan")
-        cw = ceilings[i] if i < len(ceilings) else None
+        cd = ceilings[i] if i < len(ceilings) else None
+        cw = cd["cov"] if cd else None
         pairs.append({
             "pair": i, "eff": e, "eff_heavy": eh, "ceiling": cw,
+            "ceiling_img": cd.get("img") if cd else None,
             "eff_norm": round(e / cw, 3) if cw else None,
             "eff_heavy_norm": round(eh / cw, 3) if cw else None,
         })
@@ -255,16 +296,18 @@ def main() -> None:
             "run in the SAME host window as the pair; norm = pair "
             "efficiency / that window's ceiling — how much of the "
             "deliverable parallelism the engine captured):\n\n"
-            "| pair | headline eff | heavy eff | window ceiling | "
-            "headline/ceiling | heavy/ceiling |\n|---|---|---|---|---|---|\n"
+            "| pair | headline eff | heavy eff | window ceiling (covering kernel) | "
+            "window ceiling (image kernel) | headline/ceiling | heavy/ceiling |"
+            "\n|---|---|---|---|---|---|---|\n"
         )
         for p in pairs:
             cw = f"{p['ceiling']:.3f}" if p["ceiling"] else "—"
+            cwi = f"{p['ceiling_img']:.3f}" if p.get("ceiling_img") else "—"
             en = f"{p['eff_norm']:.3f}" if p["eff_norm"] else "—"
             ehn = f"{p['eff_heavy_norm']:.3f}" if p["eff_heavy_norm"] else "—"
             f.write(
                 f"| {p['pair']} | {p['eff']:.3f} | {p['eff_heavy']:.3f} | "
-                f"{cw} | {en} | {ehn} |\n"
+                f"{cw} | {cwi} | {en} | {ehn} |\n"
             )
         f.write("\n")
         f.write(
