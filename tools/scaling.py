@@ -291,6 +291,14 @@ def main() -> None:
             "conservative summary.\n\n"
         )
         f.write(
+            "Even a back-to-back pair separates the two measurements of any "
+            "given STAGE by the ~10 minutes the rest of the run takes, so "
+            "intra-pair drift still lands inside the ratio. "
+            "`BENCH/BASELINE_STAGE.md` (tools/pairstage.py) tightens this: "
+            "each stage's two legs run adjacently, making every per-stage "
+            "ratio same-window by construction.\n\n"
+        )
+        f.write(
             "Per-pair detail (heavy = the 100 TB-dominant build/image "
             "stages; ceiling = the multiprocessing covering-kernel probe "
             "run in the SAME host window as the pair; norm = pair "
