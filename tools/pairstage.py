@@ -107,7 +107,12 @@ def main() -> None:
         with open(RUNS_LOG) as f:
             for ln in f:
                 r = json.loads(ln)
-                if r.get("kind") == "stagepair" and r.get("low") == n_low and r.get("high") == n_high:
+                if (
+                    r.get("kind") == "stagepair"
+                    and r.get("low") == n_low
+                    and r.get("high") == n_high
+                    and r.get("sf") == sf_dir
+                ):
                     legs[(r["rep"], r["stage"], r["cpus"])] = r["sec"]
                     base_rep = max(base_rep, r["rep"] + 1)
 
@@ -121,7 +126,7 @@ def main() -> None:
                     rec = {
                         "kind": "stagepair", "rep": rep, "stage": stage,
                         "cpus": cpus, "sec": sec, "low": n_low, "high": n_high,
-                        "leg_wall": round(time.time() - t0, 1),
+                        "sf": sf_dir, "leg_wall": round(time.time() - t0, 1),
                     }
                     legs[(rep, stage, cpus)] = sec
                     with open(RUNS_LOG, "a") as f:
