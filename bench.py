@@ -58,6 +58,39 @@ def main() -> None:
 
     spark = get_spark(app_name="rgm-bench", cpus=cpus)
 
+    if want is not None:
+        # Cold-process warmup (untimed): spawn the Python worker pool on
+        # every task slot and load the kernel modules (numpy, rgm.covering,
+        # rgm.images) before any timed stage. A full bench pays this once,
+        # inside its FIRST UDF stage; a one-stage leg would otherwise pay
+        # it inside the timed window at BOTH parallelism levels — a flat
+        # adder that compresses the N-vs-4N ratio (measured: cold
+        # region_index_build_50k read 0.336 efficiency vs ~0.6 warm).
+        import rgm.images as rimg_w
+
+        rimg_w.images_table(spark, 32 * cpus).count()
+        wq = spark.range(8 * cpus).select(
+            F.col("id").cast("string").alias("query_id"),
+            F.lit("cap").alias("kind"),
+            (F.lit(30.0) + (F.col("id") % 10).cast("double")).alias("lat"),
+            F.lit(-100.0).alias("lng"),
+            F.lit(1000.0).alias("radius_m"),
+            F.lit(8).alias("max_cells"),
+        )
+        rq._cover_queries(wq, bucket=3, max_cells=8).count()
+        # micro index build: warms the whole build path (covering UDF,
+        # parquet writers, manifest, bitmap/roaring encode in postings)
+        wpts = spark.range(64 * cpus).select(
+            F.col("id").cast("string").alias("key"),
+            F.lit("point").alias("kind"),
+            (F.lit(30.0) + (F.col("id") % 97).cast("double") / 10.0).alias("lat"),
+            (F.lit(-100.0) + (F.col("id") % 89).cast("double") / 10.0).alias("lng"),
+        )
+        wpath = os.path.join("/tmp", f"rgm_bench_warm_c{cpus}")
+        shutil.rmtree(wpath, ignore_errors=True)
+        ridx.build_index(spark, wpts, "key", wpath, bucket=3, n_buckets=4, resume=False)
+        shutil.rmtree(wpath, ignore_errors=True)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
