@@ -218,6 +218,12 @@ def main() -> None:
         "",
         f"**Composite efficiency (heavy 100 TB-dominant stages)** = **{comp_min_hv}**",
         "",
+        "The minima composite pairs each level's best-ever stage time, which "
+        "usually come from DIFFERENT host windows — it can erode as more reps "
+        "find faster low-level legs without a matching high-level window. The "
+        "per-rep rows below are the coherent measurements: every stage's two "
+        "legs adjacent, one pass per row.",
+        "",
         "Per-rep same-window composites (one row = one pass over all stages, "
         "each stage's legs adjacent):",
         "",
