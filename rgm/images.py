@@ -8,10 +8,13 @@ numpy implementation (SURVEY §7.6): ``raw`` (packed RGB888) and ``ppm``
 floor, by construction. The point of the invariant is pipeline fidelity
 (bytes survive shuffles/joins untouched), not codec realism.
 
-Audio/video decode is STUBBED (no codecs in this container) — the Spark
-plumbing (schema, mapInPandas batching, UDF signatures) is real and tested;
-the decode kernel raises NotImplementedError unless fed the synthetic
-format.
+Audio/video carry one REAL container codec each, pure numpy (r4 verdict
+#8): WAV (RIFF/PCM16-LE, chunk-walking parser) and Y4M (YUV4MPEG2/Cmono)
+— both public interchange formats — with encode/decode roundtrip,
+duration/RMS/luma invariants, and frame sampling tested end-to-end
+through written tables. Compressed codecs (mp3/h264/...) remain declared
+stubs: decode raises NotImplementedError, which the mapInPandas plumbing
+surfaces as a per-row error column, never a task failure.
 """
 
 from __future__ import annotations
@@ -263,37 +266,221 @@ def extract_features(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# audio / video stubs: real Spark plumbing, stubbed decode kernels
+# audio / video: real container codecs (WAV/PCM16, YUV4MPEG2) in pure numpy
+# + Spark plumbing. Compressed codecs (mp3/aac/h264/...) stay declared
+# stubs — no media libraries in this container — and surface per-row as an
+# error column, never a task failure.
 # ---------------------------------------------------------------------------
 
 
-def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """STUB: no audio codecs in this container. 'synth-pcm' is the
-    deterministic test format; anything else raises."""
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """RIFF/WAVE PCM16-LE encoder (the canonical uncompressed audio
+    container; layout per the public RIFF spec: RIFF<size>WAVE + 'fmt '
+    chunk (PCM, channels, rate, byte rate, block align, 16 bps) + 'data'
+    chunk). Accepts int16 (verbatim) or float in [-1, 1] (scaled); shape
+    (n,) mono or (n_frames, n_channels)."""
+    import struct
+
+    a = np.asarray(pcm)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.dtype != np.int16:
+        a = np.clip(np.round(np.asarray(a, dtype=np.float64) * 32767.0), -32768, 32767).astype(np.int16)
+    n_frames, n_ch = a.shape
+    data = a.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE byte string -> (int16 array (n_frames, n_ch),
+    sample_rate). Walks the chunk list (so extra chunks like LIST/fact are
+    skipped, not assumed absent); PCM16 only."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
+    n_ch = rate = bps = None
+    pcm = None
+    while pos + 8 <= min(end, len(data)):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        chunk = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec, n_ch, rate = struct.unpack("<HHI", chunk[:8])
+            bps = struct.unpack("<H", chunk[14:16])[0]
+            if codec != 1 or bps != 16:
+                raise NotImplementedError(f"WAV codec {codec}/{bps}bps not supported (PCM16 only)")
+        elif cid == b"data":
+            pcm = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pcm is None or n_ch is None:
+        raise ValueError("WAV stream missing fmt/data chunk")
+    a = np.frombuffer(pcm, dtype="<i2")
+    return a.reshape(-1, n_ch), int(rate)
+
+
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int | None]:
+    """(pcm float32 in [-1, 1] shape (n_frames, n_channels), sample_rate).
+
+    'wav' is a real decoder (RIFF/PCM16); 'synth-pcm' is the raw headerless
+    int16 test format (rate unknown -> None). Compressed codecs raise
+    NotImplementedError (no media libs in this container) — the Spark
+    plumbing turns that into an error column, not a task failure."""
     if fmt == "synth-pcm":
-        return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+        a = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+        return a.reshape(-1, 1), None
+    if fmt == "wav":
+        a, rate = decode_wav(data)
+        return a.astype(np.float32) / 32768.0, rate
     raise NotImplementedError(f"audio codec {fmt!r} not available in this environment")
 
 
-def decode_video_frames(data: bytes, fmt: str, every_n: int = 10) -> np.ndarray:
-    """STUB: no video codecs in this container."""
-    raise NotImplementedError(f"video codec {fmt!r} not available in this environment")
+def synth_audio(idx: int, n_frames: int = 8000, sample_rate: int = 16_000) -> np.ndarray:
+    """Deterministic per-key test signal: two-tone sine mix, int16 mono.
+    Analytic RMS ~ amp/sqrt(2) per tone — the invariant tests pin decoded
+    RMS and duration against closed forms."""
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    f1 = 220.0 + (idx % 16) * 55.0
+    f2 = 1000.0 + (idx % 7) * 125.0
+    x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    return np.round(x * 32767.0).astype(np.int16)
 
 
 def audio_features(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
-    """mapInPandas plumbing for audio feature extraction (RMS energy +
-    duration); real for 'synth-pcm', NotImplementedError surfaces per-row
-    as nulls with an error marker otherwise."""
+    """mapInPandas audio feature extraction: RMS energy, frame count,
+    sample rate and duration (when the container carries a rate). Real for
+    'wav' and 'synth-pcm'; unsupported codecs surface per-row as nulls
+    with an error marker."""
 
     def feats(it):
         for pdf in it:
             out = []
             for r in pdf.itertuples():
                 try:
-                    pcm = decode_audio(getattr(r, bytes_col), getattr(r, fmt_col))
-                    out.append((r.key, float(np.sqrt((pcm**2).mean())), len(pcm), None))
+                    pcm, rate = decode_audio(getattr(r, bytes_col), getattr(r, fmt_col))
+                    out.append(
+                        (
+                            r.key, float(np.sqrt((pcm.astype(np.float64) ** 2).mean())),
+                            pcm.shape[0], rate,
+                            (pcm.shape[0] / rate) if rate else None, None,
+                        )
+                    )
                 except NotImplementedError as e:
-                    out.append((r.key, None, None, str(e)))
-            yield pd.DataFrame(out, columns=["key", "rms", "n_samples", "error"])
+                    out.append((r.key, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out,
+                columns=["key", "rms", "n_samples", "sample_rate", "duration_s", "error"],
+            )
 
-    return df.mapInPandas(feats, "key string, rms double, n_samples long, error string")
+    return df.mapInPandas(
+        feats,
+        "key string, rms double, n_samples long, sample_rate int, "
+        "duration_s double, error string",
+    )
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 encoder, Cmono (luma-only) — the public uncompressed
+    video interchange container (mplayer/ffmpeg 'y4m'): one ASCII stream
+    header, then 'FRAME\\n' + raw plane bytes per frame. frames: uint8
+    (n_frames, h, w)."""
+    f = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    n, h, w = f.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    plane = b"FRAME\n"
+    return head + b"".join(plane + f[i].tobytes() for i in range(n))
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a YUV4MPEG2/Cmono stream -> (uint8 frames (n, h, w), fps)."""
+    nl = data.index(b"\n")
+    head = data[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C" and tok[1:] != "mono":
+            raise NotImplementedError(f"y4m chroma {tok!r} not supported (Cmono only)")
+    frames = []
+    pos = nl + 1
+    fsz = w * h
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)  # FRAME line (may carry params)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("corrupt y4m frame header")
+        frames.append(
+            np.frombuffer(data[fnl + 1 : fnl + 1 + fsz], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + fsz
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), int(fps)
+
+
+def synth_video(idx: int, n_frames: int = 12, w: int = 32, h: int = 32, seed: int = 42) -> np.ndarray:
+    """Deterministic test clip: the image synth's luma plane, rolled one
+    column per frame (so frame k == roll(frame 0, k) — an exact sampling
+    invariant)."""
+    px = synth_pixels(idx, w, h, seed)
+    luma = (px.astype(np.float64) @ _LUMA).round().astype(np.uint8)
+    return np.stack([np.roll(luma, k, axis=1) for k in range(n_frames)])
+
+
+def decode_video_frames(data: bytes, fmt: str, every_n: int = 10) -> np.ndarray:
+    """Frame-sampled decode: every ``every_n``-th frame. Real for 'y4m'
+    (YUV4MPEG2/Cmono); compressed codecs raise NotImplementedError."""
+    if fmt == "y4m":
+        frames, _ = decode_y4m(data)
+        return frames[::every_n]
+    raise NotImplementedError(f"video codec {fmt!r} not available in this environment")
+
+
+def video_features(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt", every_n: int = 1
+) -> DataFrame:
+    """mapInPandas video feature extraction over sampled frames: frame
+    count, fps, duration, mean luma of the sampled frames. Real for 'y4m';
+    unsupported codecs surface per-row as an error column."""
+
+    def feats(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    fmt = getattr(r, fmt_col)
+                    if fmt != "y4m":
+                        raise NotImplementedError(
+                            f"video codec {fmt!r} not available in this environment"
+                        )
+                    frames, fps = decode_y4m(getattr(r, bytes_col))
+                    sampled = frames[::every_n]
+                    out.append(
+                        (
+                            r.key, int(frames.shape[0]), int(fps),
+                            frames.shape[0] / fps if fps else None,
+                            float(sampled.astype(np.float64).mean()) if len(sampled) else None,
+                            None,
+                        )
+                    )
+                except NotImplementedError as e:
+                    out.append((r.key, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out,
+                columns=["key", "n_frames", "fps", "duration_s", "mean_luma", "error"],
+            )
+
+    return df.mapInPandas(
+        feats,
+        "key string, n_frames int, fps int, duration_s double, "
+        "mean_luma double, error string",
+    )

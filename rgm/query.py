@@ -583,20 +583,38 @@ def _knn_distributed(
     All round state lives under ``<index_path>/_scratch/knn-<nonce>`` —
     the index's own (shared) filesystem, so executors on a real cluster
     read/write the same files (the r3 tempfile.mkdtemp scratch only worked
-    in local mode). The final top-k goes to ``out_path`` when given
+    in local mode). When the index location is READ-ONLY (the shared
+    published-index posture), the scratch falls back to a sibling of
+    ``out_path`` (the caller's writable shared storage) or, with no
+    out_path, to a driver-local tempdir — correct in local mode only, and
+    the docstring trade the r4 ADVICE asked for: a read-only index stays
+    queryable either way. The final top-k goes to ``out_path`` when given
     (caller-owned lifecycle), else into the scratch dir, which is then
     registered for atexit cleanup instead of leaking (r3 What's-wrong #2).
     """
     import atexit
     import shutil
+    import tempfile
     import uuid
 
     from pyspark.sql import Window
 
     from .udfs import haversine_udf
 
-    work = os.path.join(index_path, "_scratch", f"knn-{uuid.uuid4().hex[:12]}")
-    os.makedirs(work, exist_ok=True)
+    nonce = uuid.uuid4().hex[:12]
+    work = os.path.join(index_path, "_scratch", f"knn-{nonce}")
+    try:
+        os.makedirs(work, exist_ok=True)
+    except OSError:
+        if out_path is not None:
+            # same filesystem the caller owns for the result
+            parent = os.path.dirname(os.path.abspath(out_path)) or "."
+            work = os.path.join(parent, f"_knn_scratch-{nonce}")
+            os.makedirs(work, exist_ok=True)
+        else:
+            # driver-local: fine in local mode; cluster callers with a
+            # read-only index must pass out_path
+            work = tempfile.mkdtemp(prefix="rgm_knn_scratch_")
     rounds_written = 0
     rounds_dir = os.path.join(work, "rounds")
     rem = qp

@@ -46,7 +46,13 @@ def stream_index_append(
     max_cells: int = 30,
 ):
     """Attach a foreachBatch writer that appends covering pairs of incoming
-    rows to the index. Returns the StreamingQuery (caller awaits it)."""
+    rows to the index. Returns the StreamingQuery (caller awaits it).
+
+    Each micro-batch's pairs/keys appends run under the index's WRITER
+    LEASE (checkpoint.WriterLease), so a concurrent compaction
+    (index._compact_stage holds the same lease across its final re-list ->
+    swap) can never trash a file this writer appends mid-swap — the r4
+    documented residual race, now locked."""
     man = Manifest(index_path)
     pairs_dir = man.stage_dir("pairs")
     keys_dir = man.stage_dir("keys")
@@ -121,12 +127,12 @@ def stream_index_append(
             .withColumn("cell_l3", F.expr(PARENT3_EXPR))
             .sortWithinPartitions("cell_id")
         )
-        pairs.write.mode("append").parquet(pairs_dir)
-        # same payload-geometry columns the batch build writes, so appended
-        # key files carry the full keys schema (region-vs-region refinement
-        # works on streamed keys too)
+        # the covering/rank work above is already materialized in the
+        # persist (the counts collect forced it) — the lease is held only
+        # for the file appends + state flush, so a concurrent compactor
+        # waits milliseconds, not the whole UDF pass
         NULLD = F.lit(None).cast("double")
-        keyed.select(
+        keys_out = keyed.select(
             "key_id",
             F.col(key_col).alias("key"),
             F.col("kind").alias("p_kind"),
@@ -154,7 +160,13 @@ def stream_index_append(
             .alias("p_verts"),
             F.col("cov.min_cell_ord").alias("min_cell_ord"),
             F.col("cov.cells").alias("cells"),
-        ).write.mode("append").parquet(keys_dir)
+        )
+        with man.lease():
+            pairs.write.mode("append").parquet(pairs_dir)
+            # appended key files carry the full keys schema (the same
+            # payload-geometry columns the batch build writes), so
+            # region-vs-region refinement works on streamed keys too
+            keys_out.write.mode("append").parquet(keys_dir)
         covered.unpersist()
         with open(state_path, "w") as f:
             json.dump({"next_key_id": next_id + n, "last_batch_id": batch_id}, f)

@@ -41,7 +41,7 @@ def _leg(stages: str) -> dict:
 
 
 def test_stage_filtered_legs_time_only_requested_and_reuse_state():
-    for p in (IDX, IDX + "_regions", IDX + "_images"):
+    for p in (IDX, IDX + "_regions", IDX + "_images", IDX + "_images_500"):
         shutil.rmtree(p, ignore_errors=True)
 
     # leg 1: fresh timed index build leaves committed state behind
@@ -60,4 +60,11 @@ def test_stage_filtered_legs_time_only_requested_and_reuse_state():
     r3 = _leg("images_fidelity")
     assert set(r3["queries"]) == {"images_fidelity"}
     assert r3["rows"]["images_fidelity"] == 500
-    assert os.path.exists(os.path.join(IDX + "_images", "_SUCCESS"))
+    # the images state dir carries the scale config in its name, so a leg
+    # at a different SPARK_GRAFT_BENCH_IMAGES can never reuse this table
+    assert os.path.exists(os.path.join(IDX + "_images_500", "_SUCCESS"))
+
+    # leg 4: a timed build leg reports per-build-stage seconds (the N->4N
+    # attribution pairstage consumes)
+    assert set(r1.get("build_stages", {})) == {"index_build"}
+    assert set(r1["build_stages"]["index_build"]) >= {"covers", "keys", "pairs", "postings"}

@@ -104,7 +104,12 @@ def test_refine_drops_cell_false_positives(spark, small_index):
 
 
 def test_manifest_resume(spark, small_index):
-    """Re-running the build with resume=True must skip all stages."""
+    """Re-running the build with resume=True must skip all stages.
+
+    verify_source=False is the documented no-scan escape hatch (the
+    default now fingerprints the source, so a resume with a DIFFERENT df
+    — here an empty one — would correctly rebuild): with it, committed
+    stages are reused without the source ever being touched."""
     from rgm.checkpoint import Manifest
 
     man = Manifest(small_index)
@@ -112,7 +117,10 @@ def test_manifest_resume(spark, small_index):
     assert set(before) == {"covers", "keys", "pairs", "postings"}
     # resume build with an EMPTY df: stages committed -> df never touched
     empty = spark.createDataFrame([], "key string, kind string, lat double, lng double")
-    man2 = ridx.build_index(spark, empty, "key", small_index, resume=True)
+    man2 = ridx.build_index(
+        spark, empty, "key", small_index, bucket=3, max_cells=10,
+        resume=True, verify_source=False,
+    )
     after = {s: e["committed_utc"] for s, e in man2.doc["stages"].items()}
     assert before == after
 

@@ -64,7 +64,12 @@ RUNS_LOG = os.path.join(ROOT, "BENCH", "runs.jsonl")
 REPORT = os.path.join(ROOT, "BENCH", "BASELINE_STAGE.md")
 
 
-def run_leg(sf_dir: str, cpus: int, stage: str) -> float:
+def run_leg(sf_dir: str, cpus: int, stage: str) -> tuple[float, dict]:
+    """One bench.py subprocess timing exactly one stage. Returns
+    (stage seconds, per-build-stage seconds dict — empty unless the stage
+    is an index build). A failed leg raises with the bench stderr tail
+    instead of crashing on empty stdout and discarding the cause
+    (ADVICE r4)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -80,9 +85,14 @@ def run_leg(sf_dir: str, cpus: int, stage: str) -> float:
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench leg failed (stage={stage} cpus={cpus} rc={out.returncode}):\n"
+            + out.stderr[-2000:]
+        )
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
-    return rec["queries"][stage]
+    return rec["queries"][stage], rec.get("build_stages", {}).get(stage, {})
 
 
 def _eff(t_low: float, t_high: float, ratio: int) -> float:
@@ -100,8 +110,10 @@ def main() -> None:
     ratio = n_high // n_low
 
     # legs[(rep, stage, cpus)] = sec; merge prior legs first so reports
-    # accumulate across invocations (same contract as scaling.py)
+    # accumulate across invocations (same contract as scaling.py).
+    # bstages[(rep, stage, cpus)] = per-build-stage secs (index builds).
     legs: dict[tuple[int, str, int], float] = {}
+    bstages: dict[tuple[int, str, int], dict] = {}
     base_rep = 0
     if (report_only or os.environ.get("PAIRSTAGE_MERGE") == "1") and os.path.exists(RUNS_LOG):
         with open(RUNS_LOG) as f:
@@ -114,6 +126,8 @@ def main() -> None:
                     and r.get("sf") == sf_dir
                 ):
                     legs[(r["rep"], r["stage"], r["cpus"])] = r["sec"]
+                    if r.get("build_stages"):
+                        bstages[(r["rep"], r["stage"], r["cpus"])] = r["build_stages"]
                     base_rep = max(base_rep, r["rep"] + 1)
 
     if not report_only:
@@ -122,12 +136,15 @@ def main() -> None:
             for stage in stages:
                 for cpus in order:
                     t0 = time.time()
-                    sec = run_leg(sf_dir, cpus, stage)
+                    sec, bs = run_leg(sf_dir, cpus, stage)
                     rec = {
                         "kind": "stagepair", "rep": rep, "stage": stage,
                         "cpus": cpus, "sec": sec, "low": n_low, "high": n_high,
                         "sf": sf_dir, "leg_wall": round(time.time() - t0, 1),
                     }
+                    if bs:
+                        rec["build_stages"] = bs
+                        bstages[(rep, stage, cpus)] = bs
                     legs[(rep, stage, cpus)] = sec
                     with open(RUNS_LOG, "a") as f:
                         f.write(json.dumps(rec) + "\n")
@@ -246,6 +263,41 @@ def main() -> None:
         lines.append(
             f"| {r['stage']} | {r['min_low']} | {r['min_high']} | {r['eff_min']} | {pe} | {r['best_pair']} |"
         )
+
+    # per-BUILD-stage attribution (r4 verdict #1): which of
+    # covers/keys/pairs/postings eats the build's parallelism. Each row's
+    # per-rep eff pairs the SAME rep's low/high legs (same-window).
+    for bench_stage in ("index_build", "region_index_build_50k"):
+        reps_with = [
+            r for r in all_reps
+            if bstages.get((r, bench_stage, n_low)) and bstages.get((r, bench_stage, n_high))
+        ]
+        if not reps_with:
+            continue
+        sub = sorted({
+            s for r in reps_with
+            for s in bstages[(r, bench_stage, n_low)]
+            if s in bstages[(r, bench_stage, n_high)]
+        })
+        lines += [
+            "",
+            f"Per-build-stage N->4N attribution for `{bench_stage}` "
+            "(seconds from the index manifest's per-stage metrics; eff per "
+            "rep is same-window):",
+            "",
+            "| build stage | sec @low (min) | sec @high (min) | eff (minima) | per-rep pair effs |",
+            "|---|---|---|---|---|",
+        ]
+        for s in sub:
+            lows = [bstages[(r, bench_stage, n_low)][s] for r in reps_with]
+            highs = [bstages[(r, bench_stage, n_high)][s] for r in reps_with]
+            pe = ", ".join(
+                f"{_eff(lo, hi, ratio):.3f}" for lo, hi in zip(lows, highs)
+            )
+            lines.append(
+                f"| {s} | {min(lows)} | {min(highs)} | "
+                f"{_eff(min(lows), min(highs), ratio)} | {pe} |"
+            )
     lines.append("")
     with open(REPORT, "w") as f:
         f.write("\n".join(lines))

@@ -36,6 +36,9 @@ def run(sf_dir: str, cpus: int) -> dict:
     env.setdefault("SPARK_GRAFT_EXTRA_POINTS", "500000")
     env.setdefault("SPARK_GRAFT_BENCH_IMAGES", "600000")
     env.setdefault("SPARK_GRAFT_BENCH_REGIONS", "100000")
+    # a scaling leg is ONE pass — pairing does the drift control here; the
+    # in-process reps default (bench.py) would triple every leg's wall
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,

@@ -45,6 +45,39 @@ def audit_claims() -> list[str]:
     )
 
 
+_BENCH_FILE_RE = re.compile(r"`?(BENCH/[A-Za-z0-9_./-]+\.md)`?")
+_NUM_RE = re.compile(r"(?<![\d.])([01]\.\d{2,3})(?![\d])")
+
+
+def audit_numeric_claims() -> list[str]:
+    """Numbers quoted against BENCH files must exist in those files (the
+    r4 verdict found OPERATORS.md quoting an interim 0.826 composite that
+    later reps had eroded to 0.755 in the cited report). For every
+    blank-line-separated paragraph of OPERATORS.md that cites one or more
+    `BENCH/*.md` files, every efficiency-like decimal (0.xx / 0.xxx /
+    1.xx) in the paragraph must appear as a substring of at least one
+    cited file. Returns 'number (files...)' offenders."""
+    with open(os.path.join(ROOT, "OPERATORS.md")) as f:
+        text = f.read()
+    bad = []
+    for para in text.split("\n\n"):
+        files = sorted(set(_BENCH_FILE_RE.findall(para)))
+        if not files:
+            continue
+        contents = []
+        for fn in files:
+            p = os.path.join(ROOT, fn)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    contents.append(fh.read())
+            else:
+                bad.append(f"cited file missing: {fn}")
+        for num in _NUM_RE.findall(para):
+            if not any(num in c for c in contents):
+                bad.append(f"{num} not in {files}")
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -59,6 +92,11 @@ def main() -> int:
         print(f"FAIL  OPERATORS.md claims oracles that do not exist: {bad}")
         return 1
     print("ok    OPERATORS.md oracle claims all resolve to registered queries")
+    badnum = audit_numeric_claims()
+    if badnum:
+        print(f"FAIL  OPERATORS.md quotes numbers absent from the cited BENCH files: {badnum}")
+        return 1
+    print("ok    OPERATORS.md BENCH-cited numbers all present in the cited files")
     if "--audit" in sys.argv:
         return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
