@@ -331,6 +331,15 @@ IMG_DEDUP_N = 400
 IMG_DEDUP_EVERY = 4
 IMG_DEDUP_MAXHAM = 6
 
+# media (audio/video) driver queries: deterministic WAV / Y4M payloads
+# keyed by documents.doc_id, stats re-derived by DECODING the container
+# bytes after a real distributed encode pipe (rgm.images WAV/Y4M codecs)
+AUDIO_N = 200       # doc_id < AUDIO_N rows carry a WAV payload
+AUDIO_RATE = 8000
+VIDEO_N = 150       # doc_id < VIDEO_N rows carry a Y4M payload
+VIDEO_FPS = 5
+VIDEO_WH = 16
+
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -409,6 +418,76 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = rid.images_with_variants(spark, IMG_DEDUP_N, IMG_DEDUP_EVERY)
     return rid.image_neardup_pairs(imgs, max_hamming=IMG_DEDUP_MAXHAM)
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio column under the oracle gate: per-doc deterministic
+    two-tone PCM -> REAL WAV container encode (RIFF/PCM16,
+    rgm.images.encode_wav) -> distributed decode (audio_features) -> frame
+    count / rate / duration. The oracle computes the same stats in pure
+    SQL arithmetic from doc_id alone — fully independent of the codec —
+    so a hash match proves the container round trip is sample-exact."""
+    import pandas as pd
+
+    from . import images as rim
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < AUDIO_N)
+        .select("doc_id")
+        .repartition(8)
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2000 + (did % 8) * 500
+                pcm = rim.synth_audio(did, n, AUDIO_RATE)
+                out.append((str(did), rim.encode_wav(pcm, AUDIO_RATE), "wav"))
+            yield pd.DataFrame(out, columns=["key", "bytes", "fmt"])
+
+    wav = docs.mapInPandas(gen, "key string, bytes binary, fmt string")
+    return rim.audio_features(wav).select(
+        F.col("key").cast("long").alias("doc_id"),
+        "n_samples", "sample_rate", "duration_s",
+    )
+
+
+def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video column under the oracle gate: per-doc deterministic
+    frame stack -> REAL Y4M container encode (YUV4MPEG2/Cmono,
+    rgm.images.encode_y4m) -> distributed decode (video_features) -> frame
+    count / fps / duration / mean luma. The oracle's mean_luma comes from
+    a fixture computed DIRECTLY on the raw frames (numpy, no container —
+    tools/make_fixtures.video_luma_fixture), so a hash match proves the
+    encode -> write -> decode pipe is frame-exact."""
+    import pandas as pd
+
+    from . import images as rim
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < VIDEO_N)
+        .select("doc_id")
+        .repartition(8)
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = rim.synth_video(did, 6 + did % 10, VIDEO_WH, VIDEO_WH)
+                out.append((str(did), rim.encode_y4m(frames, fps=VIDEO_FPS), "y4m"))
+            yield pd.DataFrame(out, columns=["key", "bytes", "fmt"])
+
+    vids = docs.mapInPandas(gen, "key string, bytes binary, fmt string")
+    return rim.video_features(vids).select(
+        F.col("key").cast("long").alias("doc_id"),
+        "n_frames", "fps", "duration_s", "mean_luma",
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +574,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_image_phash": q_dedup_image_phash,
+    "media_audio_stats": q_media_audio_stats,
+    "media_video_stats": q_media_video_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_stats": q_text_stats,
@@ -550,6 +631,7 @@ _TILE_FIX = os.path.join(_FIXDIR, "tile_assign_l9.parquet")
 _REGT_FIX = os.path.join(_FIXDIR, "region_tiles_l9.parquet")
 _TEXT_FIX = os.path.join(_FIXDIR, "text_hashes.parquet")
 _IMG_FIX = os.path.join(_FIXDIR, "image_phash.parquet")
+_VID_FIX = os.path.join(_FIXDIR, "video_luma.parquet")
 
 
 def _emb_lsh_oracle_sql() -> str:
@@ -817,6 +899,26 @@ ORACLES = {
         WHERE bit_count(xor(a.phash, b.phash)) <= {IMG_DEDUP_MAXHAM}
     """,
     "ann_ivf_topk": _IVF_ORACLE_SQL,
+    # pure-arithmetic mirror, codec-independent: any WAV header/payload
+    # corruption breaks n_samples/duration equality
+    "media_audio_stats": f"""
+        SELECT doc_id,
+               CAST(2000 + (doc_id % 8) * 500 AS BIGINT) AS n_samples,
+               CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+               (2000 + (doc_id % 8) * 500) / CAST({AUDIO_RATE} AS DOUBLE) AS duration_s
+        FROM documents WHERE doc_id < {AUDIO_N}
+    """,
+    # mean_luma from the raw-frame fixture (no container): hash equality
+    # proves the Y4M encode -> decode pipe is frame-exact
+    "media_video_stats": f"""
+        SELECT d.doc_id,
+               f.n_frames, f.fps,
+               f.n_frames / CAST(f.fps AS DOUBLE) AS duration_s,
+               f.mean_luma
+        FROM documents d
+        JOIN read_parquet('{_VID_FIX}') f ON f.vid = d.doc_id
+        WHERE d.doc_id < {VIDEO_N}
+    """,
     "text_fingerprint": f"""
         SELECT d.doc_id, f.fingerprint
         FROM documents d

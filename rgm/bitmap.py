@@ -55,37 +55,63 @@ def encode(values: np.ndarray) -> bytes:
 
 def encode_sorted_groups(
     keys_sorted: np.ndarray, starts: np.ndarray, ends: np.ndarray
-) -> tuple[list[bytes], list[int]]:
+) -> tuple[list[bytes], np.ndarray]:
     """Encode many posting lists at once from one globally-sorted uint32 key
     array with per-group [start, end) bounds (keys sorted and UNIQUE within
     each group).
 
-    Fast path: key_ids are assigned in min-cell order (spatial clustering,
-    reference A2), so a cell's keys usually share their high 16 bits — the
-    blob is then one array container assembled with two buffer copies, no
-    per-group numpy calls. Mixed-high or dense groups fall back to encode().
-    Returns (blobs, cardinalities).
+    Fully vectorized fast path (r5: the per-group Python loop here was the
+    single largest CPU sink of the postings build stage — ~4 groups per
+    posting row x 10^6s of rows): key_ids are assigned in min-cell order
+    (spatial clustering, reference A2), so a cell's keys usually share
+    their high 16 bits and fit one array container. ALL such groups are
+    assembled into ONE contiguous byte buffer with numpy index math
+    (headers via strided fancy assignment, payloads via a single gather),
+    then sliced into per-group bytes — the only remaining per-group work
+    is one C-level bytes slice. Mixed-high or dense groups fall back to
+    encode(). Returns (blobs, cardinalities ndarray).
     """
     keys_sorted = np.asarray(keys_sorted, dtype=np.uint32)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n = len(starts)
     high = (keys_sorted >> np.uint32(16)).astype(np.uint16)
     low = (keys_sorted & np.uint32(0xFFFF)).astype(np.uint16)
-    one = np.uint32(1).tobytes()
-    blobs: list[bytes] = []
-    cards: list[int] = []
-    for s, e in zip(starts, ends):
-        cnt = int(e - s)
-        if cnt and cnt < _ARRAY_MAX and high[s] == high[e - 1]:
-            hdr = np.zeros(1, dtype=_HDR)
-            hdr["key"] = high[s]
-            hdr["kind"] = _ARRAY
-            hdr["count"] = cnt
-            blobs.append(one + hdr.tobytes() + low[s:e].tobytes())
-            cards.append(cnt)
-        else:
-            b = encode(keys_sorted[s:e])
-            blobs.append(b)
-            cards.append(cardinality(b))
-    return blobs, cards
+    cnts = ends - starts
+    fast = (cnts > 0) & (cnts < _ARRAY_MAX)
+    nz = cnts > 0
+    fast[nz] &= high[starts[nz]] == high[ends[nz] - 1]
+
+    blobs = np.empty(n, dtype=object)
+    cards = cnts.copy()
+
+    sf, cf = starts[fast], cnts[fast]
+    if len(sf):
+        hsz = _HDR.itemsize
+        lens = 4 + hsz + 2 * cf
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        buf = np.zeros(offs[-1], dtype=np.uint8)
+        o = offs[:-1]
+        buf[o] = 1  # u32 n_containers = 1 (LE; the other 3 bytes stay 0)
+        H = np.zeros(len(sf), dtype=_HDR)
+        H["key"] = high[sf]
+        H["kind"] = _ARRAY
+        H["count"] = cf
+        buf[o[:, None] + np.arange(4, 4 + hsz)] = H.view(np.uint8).reshape(len(sf), hsz)
+        total = int(cf.sum())
+        csum = np.concatenate([[0], np.cumsum(cf)[:-1]])
+        gather = np.repeat(sf - csum, cf) + np.arange(total)
+        pay8 = np.ascontiguousarray(low[gather]).view(np.uint8)  # LE u16 bytes
+        csum2 = np.concatenate([[0], np.cumsum(2 * cf)[:-1]])
+        dst = np.repeat(o + 4 + hsz - csum2, 2 * cf) + np.arange(2 * total)
+        buf[dst] = pay8
+        bts = buf.tobytes()
+        blobs[fast] = [bts[a:b] for a, b in zip(offs[:-1].tolist(), offs[1:].tolist())]
+    for i in np.nonzero(~fast)[0]:
+        b = encode(keys_sorted[starts[i] : ends[i]])
+        blobs[i] = b
+        cards[i] = cardinality(b)
+    return list(blobs), cards
 
 
 def decode(blob: bytes) -> np.ndarray:

@@ -474,3 +474,27 @@ def test_video_features_y4m(spark, tmp_path):
         )
     ).collect()[0]
     assert bad["n_frames"] is None and "not available" in bad["error"]
+
+
+def test_media_queries_match_analytic_stats(spark):
+    """The two media driver queries (#30/#31): WAV and Y4M payloads decoded
+    distributed; stats must equal the codec-independent analytic values /
+    the raw-frame fixture."""
+    import pandas as pd
+
+    from rgm import benchqueries as bq
+
+    sf = "/root/testdata/sf0.001"
+    a = bq.q_media_audio_stats(spark, sf).toPandas()
+    assert len(a) == bq.AUDIO_N
+    for _, r in a.head(20).iterrows():
+        n = 2000 + (int(r["doc_id"]) % 8) * 500
+        assert r["n_samples"] == n and r["sample_rate"] == bq.AUDIO_RATE
+        assert r["duration_s"] == n / bq.AUDIO_RATE
+
+    v = bq.q_media_video_stats(spark, sf).toPandas().set_index("doc_id")
+    fix = pd.read_parquet("/root/repo/fixtures/video_luma.parquet").set_index("vid")
+    assert len(v) == bq.VIDEO_N
+    for did in list(fix.index)[:20]:
+        assert v.loc[did, "n_frames"] == fix.loc[did, "n_frames"]
+        assert v.loc[did, "mean_luma"] == fix.loc[did, "mean_luma"]  # bit-exact

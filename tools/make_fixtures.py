@@ -296,6 +296,26 @@ def image_phash_fixture() -> pd.DataFrame:
     return pd.DataFrame({"image_id": ids, "phash": np.asarray(hashes, dtype=np.int64)})
 
 
+def video_luma_fixture() -> pd.DataFrame:
+    """(vid, n_frames, fps, mean_luma) for the media_video_stats driver
+    query: mean_luma is computed here DIRECTLY from the synthesized frames
+    (numpy, no container round trip), while the Spark query gets it by
+    decoding real Y4M bytes after a distributed encode -> table -> decode
+    pipe. The Y4M container is lossless, so hash-equality of the double
+    means proves frame-exact codec fidelity (the image_phash precedent)."""
+    from rgm import images as rim
+    from rgm.benchqueries import VIDEO_FPS, VIDEO_N, VIDEO_WH
+
+    rows = []
+    for vid in range(VIDEO_N):
+        n_frames = 6 + vid % 10
+        frames = rim.synth_video(vid, n_frames, VIDEO_WH, VIDEO_WH)
+        rows.append((vid, n_frames, VIDEO_FPS, frames.astype(np.float64).mean()))
+    return pd.DataFrame(
+        rows, columns=["vid", "n_frames", "fps", "mean_luma"]
+    ).astype({"vid": "int64", "n_frames": "int32", "fps": "int32"})
+
+
 def main() -> None:
     os.makedirs(FIXDIR, exist_ok=True)
     ta = tile_assign_fixture()
@@ -314,6 +334,9 @@ def main() -> None:
     ip = image_phash_fixture()
     ip.to_parquet(os.path.join(FIXDIR, "image_phash.parquet"), index=False)
     print(f"image_phash: {len(ip)} rows")
+    vl = video_luma_fixture()
+    vl.to_parquet(os.path.join(FIXDIR, "video_luma.parquet"), index=False)
+    print(f"video_luma: {len(vl)} rows")
 
 
 if __name__ == "__main__":
