@@ -114,6 +114,64 @@ def encode_sorted_groups(
     return list(blobs), cards
 
 
+def decode_many(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY blobs at once -> (values uint32, blob_index int64).
+
+    Vectorized fast path for the dominant blob shape (one array container):
+    all such blobs' headers and payloads are parsed with numpy index math
+    over one concatenated buffer — no per-blob Python. Multi-container and
+    bitset blobs fall back to decode(). Empty blobs contribute nothing.
+
+    This is the r5 batch analog of decode() for the bitmap-union query
+    path (count_keys): a 2,000-query count previously paid a Python
+    decode per matched posting row."""
+    m = len(blobs)
+    if m == 0:
+        return np.empty(0, np.uint32), np.empty(0, np.int64)
+    lens = np.fromiter((len(b) for b in blobs), np.int64, m)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    o = offs[:-1]
+    hsz = _HDR.itemsize
+    ncont = (
+        buf[o].astype(np.uint32)
+        | (buf[o + 1].astype(np.uint32) << 8)
+        | (buf[o + 2].astype(np.uint32) << 16)
+        | (buf[o + 3].astype(np.uint32) << 24)
+    )
+    has_hdr = lens >= 4 + hsz
+    kind = np.full(m, 255, np.uint8)
+    kind[has_hdr] = buf[o[has_hdr] + 6]
+    fast = (ncont == 1) & (kind == _ARRAY)
+    parts_v: list[np.ndarray] = []
+    parts_r: list[np.ndarray] = []
+    if fast.any():
+        of = o[fast]
+        cnt = (
+            buf[of + 7].astype(np.int64)
+            | (buf[of + 8].astype(np.int64) << 8)
+            | (buf[of + 9].astype(np.int64) << 16)
+            | (buf[of + 10].astype(np.int64) << 24)
+        )
+        key = (
+            buf[of + 4].astype(np.uint32) | (buf[of + 5].astype(np.uint32) << 8)
+        ) << np.uint32(16)
+        total = int(cnt.sum())
+        csum = np.concatenate([[0], np.cumsum(2 * cnt)[:-1]])
+        src = np.repeat(of + 4 + hsz - csum, 2 * cnt) + np.arange(2 * total)
+        pay = buf[src]
+        lo = pay[0::2].astype(np.uint32) | (pay[1::2].astype(np.uint32) << 8)
+        parts_v.append(np.repeat(key, cnt) | lo)
+        parts_r.append(np.repeat(np.nonzero(fast)[0], cnt))
+    for i in np.nonzero(~fast & (ncont > 0))[0]:
+        v = decode(blobs[i])
+        parts_v.append(v)
+        parts_r.append(np.full(len(v), i, np.int64))
+    if not parts_v:
+        return np.empty(0, np.uint32), np.empty(0, np.int64)
+    return np.concatenate(parts_v), np.concatenate(parts_r)
+
+
 def decode(blob: bytes) -> np.ndarray:
     """Blob -> sorted uint32 value array."""
     n = int(np.frombuffer(blob, dtype="<u4", count=1)[0])

@@ -299,6 +299,22 @@ def count_keys(
         F.col("is_origin") | ~F.col("is_anc")
     )
 
+    def _union_groups(pdf):
+        """(sorted-unique values, group starts/ends, per-group query_id)
+        for all of a partition's (query_id, bitmap) rows — one vectorized
+        decode_many + lexsort, no per-query or per-blob Python (r5: the
+        groupby/union_many loop here was the count path's CPU sink)."""
+        vals, rows = bm.decode_many(pdf["bitmap"].to_numpy())
+        codes, uniq = pd.factorize(pdf["query_id"], sort=False)
+        c = codes[rows]
+        order = np.lexsort((vals, c))
+        c, vals = c[order], vals[order]
+        keep = np.concatenate([[True], (c[1:] != c[:-1]) | (vals[1:] != vals[:-1])]) if len(c) else np.empty(0, bool)
+        c, vals = c[keep], vals[keep]
+        grp = np.concatenate([[0], np.nonzero(c[1:] != c[:-1])[0] + 1]) if len(c) else np.empty(0, np.int64)
+        ends = np.append(grp[1:], len(c)).astype(np.int64)
+        return vals, grp.astype(np.int64), ends, uniq[c[grp]] if len(c) else []
+
     def partial_union(it):
         # phase 1 — partition-local: collapse each scan partition's matched
         # posting rows to one partial bitmap per query (map-side combine;
@@ -307,11 +323,11 @@ def count_keys(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        out_q, out_b = [], []
-        for qid, grp in pdf.groupby("query_id"):
-            out_q.append(qid)
-            out_b.append(bm.union_many(list(grp["bitmap"])))
-        yield pd.DataFrame({"query_id": out_q, "bitmap": out_b})
+        if not len(pdf):
+            return
+        vals, starts, ends, qids = _union_groups(pdf)
+        blobs, _ = bm.encode_sorted_groups(vals, starts, ends)
+        yield pd.DataFrame({"query_id": qids, "bitmap": blobs})
 
     def final_count(it):
         # phase 2 — after a shuffle of the (tiny) partials by query_id
@@ -319,11 +335,10 @@ def count_keys(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        out_q, out_n = [], []
-        for qid, grp in pdf.groupby("query_id"):
-            out_q.append(qid)
-            out_n.append(bm.cardinality(bm.union_many(list(grp["bitmap"]))))
-        yield pd.DataFrame({"query_id": out_q, "n_keys": out_n})
+        if not len(pdf):
+            return
+        _, starts, ends, qids = _union_groups(pdf)
+        yield pd.DataFrame({"query_id": qids, "n_keys": ends - starts})
 
     # fixed fan-in for the final union: the partials are one row per
     # (scan partition, query), so a handful of reducers suffices at any

@@ -97,3 +97,33 @@ def test_encode_sorted_groups_vectorized_matches_scalar():
         assert list(c_vec) == c_ref, trial
         for g, b in zip(groups, b_vec):
             np.testing.assert_array_equal(bm.decode(b), g)
+
+
+def test_decode_many_matches_per_blob_decode():
+    """The r5 batch decoder equals per-blob decode() on a mix of empty,
+    single-array, multi-container and bitset blobs, with correct blob
+    indices."""
+    rng = np.random.default_rng(9)
+    blobs, want_v, want_r = [], [], []
+    for i in range(400):
+        shape = i % 5
+        if shape == 0:
+            vals = np.empty(0, np.uint32)
+        elif shape in (1, 2):  # single array container (the mass case)
+            base = int(rng.integers(0, 1 << 16)) << 16
+            vals = np.unique(rng.integers(base, base + 60_000, size=int(rng.integers(1, 50))).astype(np.uint32))
+        elif shape == 3:  # multi-container
+            vals = np.unique(rng.integers(0, 1 << 22, size=200).astype(np.uint32))
+        else:  # dense bitset container
+            vals = np.arange(70_000, dtype=np.uint32)
+        blobs.append(bm.encode(vals))
+        want_v.append(vals)
+        want_r.append(np.full(len(vals), i, np.int64))
+    got_v, got_r = bm.decode_many(blobs)
+    # order within decode_many is fast-path-first; compare as (row, value) sets
+    got = sorted(zip(got_r.tolist(), got_v.tolist()))
+    want = sorted(zip(np.concatenate(want_r).tolist(), np.concatenate(want_v).tolist()))
+    assert got == want
+    # per-row equality too
+    for i in range(400):
+        np.testing.assert_array_equal(np.sort(got_v[got_r == i]), want_v[i])
