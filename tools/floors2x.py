@@ -1,14 +1,20 @@
 """Floors-dominate proof for index_build scaling (r4 verdict #1): run the
-index_build stage pair at the standard scaling corpus (650k points) AND at
-2x (1.85M points), same session ordering, and compare per-build-stage
-N->4N efficiencies. If the sub-0.6 efficiencies at 650k are fixed job
+index_build stage pair at SEVERAL corpus sizes back-to-back (1x = the
+standard 650k-point scaling config, 2x = 1.85M, optionally 4x = 2.75M),
+same session ordering, and compare per-build-stage N->4N efficiencies.
+If the sub-0.6 efficiencies at 650k are fixed job
 floors (scheduling, sampling passes, manifest/commit, per-job setup) and
 not a scale defect, they must RISE as per-stage work grows to amortize
-the floors. Logs to BENCH/floors2x.jsonl (NOT runs.jsonl — different
+the floors — and keep rising monotonically with corpus size.
+Logs to BENCH/floors2x.jsonl (NOT runs.jsonl — different
 workload, must never merge into the stage-pair minima) and writes
 BENCH/FLOORS_2X.md.
 
-Usage: python tools/floors2x.py [reps] [extra_points_2x]
+Usage: python tools/floors2x.py [reps] [scales]
+  scales: comma list of tag:extra_points, default
+  "1x:500000,2x:1700000" (total points = extra + 150k sf0.1 base).
+  New legs continue rep numbering after the log's last rep so rows from
+  different sessions never merge into one (rep, scale) pair.
 """
 
 from __future__ import annotations
@@ -31,17 +37,23 @@ BUILD_STAGES = ("covers", "keys", "pairs", "postings")
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    extra2x = int(sys.argv[2]) if len(sys.argv) > 2 else 1_700_000
+    args = [a for a in sys.argv[1:] if a != "--report-only"]
+    reps = int(args[0]) if len(args) > 0 else 2
+    scales_arg = args[1] if len(args) > 1 else "1x:500000,2x:1700000"
+    scales = []
+    for part in scales_arg.split(","):
+        tag, extra = part.split(":")
+        scales.append((int(extra), tag))
     legs = []
     if os.path.exists(LOG):
         with open(LOG) as f:
             legs = [json.loads(l) for l in f]
+    base_rep = max((r["rep"] for r in legs), default=-1) + 1
     if "--report-only" not in sys.argv:
-        for rep in range(reps):
+        for rep in range(base_rep, base_rep + reps):
             # interleave scales within a rep so both see the same window;
             # alternate leg order across reps (pairstage discipline)
-            for extra, tag in ((500_000, "1x"), (extra2x, "2x")):
+            for extra, tag in scales:
                 os.environ["SPARK_GRAFT_EXTRA_POINTS"] = str(extra)
                 order = (2, 8) if rep % 2 == 0 else (8, 2)
                 for cpus in order:
@@ -64,10 +76,11 @@ def main() -> None:
         "# BENCH/FLOORS_2X — does the index_build scaling gap amortize with corpus size?",
         "",
         "Same stage-paired method as BENCH/BASELINE_STAGE.md, but each rep runs",
-        "the index_build pair at TWO corpus sizes back-to-back (1x = the standard",
-        f"650k-point scaling config; 2x = {extra2x + 150_000:,} points). If the",
-        "per-build-stage efficiencies rise at 2x, the 1x gap is fixed job floors",
-        "amortizing, not a parallelism defect in the plan.",
+        "the index_build pair at SEVERAL corpus sizes back-to-back (1x = the",
+        "standard 650k-point scaling config; 2x = 1,850,000 points; 4x where",
+        "present = 2,750,000). If the per-build-stage efficiencies rise with",
+        "corpus size, the 1x gap is fixed job floors amortizing, not a",
+        "parallelism defect in the plan.",
         "",
         "| rep | scale | total @2 | total @8 | eff | " + " | ".join(
             f"{s} eff" for s in BUILD_STAGES) + " |",
