@@ -143,8 +143,8 @@ class Manifest:
 
 
 class WriterLease:
-    """Advisory single-writer lease over an index root: an O_EXCL lock
-    file (``_writer.lock``) holding {owner, expires_utc}.
+    """Advisory single-writer lease over an index root, generation-fenced:
+    the holder owns ``_writer.lock.g<N>`` where N only ever increases.
 
     Closes the compaction-vs-streaming-append race (r4 verdict Missing #4,
     ADVICE): ``_compact_stage`` holds the lease across its
@@ -153,53 +153,107 @@ class WriterLease:
     so an append can never land between the compactor's final re-list and
     the rename pair (where it would be deleted with the trashed old dir).
 
-    TTL makes a crashed holder self-healing: a waiter that finds an
-    EXPIRED lock deletes it and retries the O_EXCL create (two stealers
-    race the create; exactly one wins). Acquisition beyond ``timeout_s``
-    raises TimeoutError rather than deadlocking a maintenance loop.
+    Grant protocol: list ``_writer.lock*`` generations; if the highest is
+    live, wait. If it is EXPIRED (or none exists), O_EXCL-create the NEXT
+    generation — the create arbitrates concurrent stealers — then re-list:
+    a higher generation appearing means we lost a fencing race, so back
+    off; otherwise we hold the lease and garbage-collect the superseded
+    generation files. A live lock file is never renamed or unlinked by
+    anyone but its owner, so no interleaving of stealers and creators can
+    remove a live lease from the path and double-grant (the defect of
+    unlink- or rename-steal protocols: a stealer acting on a stale
+    "expired" read deletes the lock a NEW holder just created). A holder
+    whose TTL lapses before renew() may lose the lease — the standard TTL
+    contract; crashed holders self-heal the same way. A torn lock file
+    (creator died between create and write) expires by file mtime + this
+    waiter's ttl_s. Acquisition beyond ``timeout_s`` raises TimeoutError
+    rather than deadlocking a maintenance loop.
 
     This is the standard lock-file-over-shared-storage posture (works on
     POSIX and object-store-backed mounts with atomic create); it is
-    advisory — writers that bypass the lease keep today's documented
-    narrow-race behavior."""
+    advisory — writers that bypass the lease are not excluded."""
 
     def __init__(self, root: str, ttl_s: float = 60.0, timeout_s: float = 120.0):
         self.root = root
-        self.path = os.path.join(root, "_writer.lock")
+        self.base = os.path.join(root, "_writer.lock")
+        self.path: str | None = None  # the held generation file
         self.ttl_s = float(ttl_s)
         self.timeout_s = float(timeout_s)
         self._held = False
 
+    def _gens(self) -> list[tuple[int, str]]:
+        """Sorted [(generation, path)] of present lock files. A bare
+        ``_writer.lock`` (pre-fencing layout) reads as generation 0."""
+        name = os.path.basename(self.base)
+        out = []
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n == name:
+                out.append((0, os.path.join(self.root, n)))
+            elif n.startswith(name + ".g"):
+                try:
+                    out.append((int(n[len(name) + 2:]), os.path.join(self.root, n)))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     def acquire(self) -> "WriterLease":
         deadline = time.time() + self.timeout_s
         while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump(
-                        {"owner": f"{os.getpid()}", "expires_utc": time.time() + self.ttl_s},
-                        f,
-                    )
-                self._held = True
-                return self
-            except FileExistsError:
+            gens = self._gens()
+            target = 1
+            if gens:
+                top_gen, top_path = gens[-1]
                 try:
-                    with open(self.path) as f:
+                    with open(top_path) as f:
                         doc = json.load(f)
                     expired = time.time() > float(doc.get("expires_utc", 0))
+                except FileNotFoundError:
+                    continue  # top released between list and read: re-list
                 except (OSError, ValueError):
-                    # holder released between our open attempts, or a torn
-                    # write mid-create: treat as contended and retry
-                    expired = False
-                if expired:
+                    # torn write (creator died between create and write):
+                    # expire it by file age so self-healing still works
                     try:
-                        os.unlink(self.path)  # both stealers may unlink; one wins the create
+                        expired = time.time() > os.stat(top_path).st_mtime + self.ttl_s
+                    except OSError:
+                        continue
+                if not expired:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"writer lease busy: {top_path}")
+                    time.sleep(0.02)
+                    continue
+                target = top_gen + 1
+            path = f"{self.base}.g{target}"
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the generation-bump race: re-list
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"owner": f"{os.getpid()}", "expires_utc": time.time() + self.ttl_s},
+                    f,
+                )
+            after = self._gens()
+            if after and after[-1][0] > target:
+                # fencing: a higher generation appeared (created off an
+                # expired chain we didn't observe) — it wins, we retry
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            for g, p in after:
+                if g < target:  # superseded (expired/legacy) generations
+                    try:
+                        os.unlink(p)
                     except FileNotFoundError:
                         pass
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(f"writer lease busy: {self.path}")
-                time.sleep(0.02)
+            self.path = path
+            self._held = True
+            return self
 
     def renew(self) -> None:
         """Extend the TTL (long compactions renew between phases)."""

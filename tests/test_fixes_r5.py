@@ -309,7 +309,7 @@ def test_writer_lease_mutual_exclusion(tmp_path):
     assert not lock_err
     assert counter["max_inside"] == 1  # never two holders
     assert counter["v"] == 100  # no lost update
-    assert not os.path.exists(os.path.join(root, "_writer.lock"))
+    assert [p for p in os.listdir(root) if p.startswith("_writer.lock")] == []
 
 
 def test_writer_lease_ttl_steal_and_timeout(tmp_path):
@@ -324,6 +324,45 @@ def test_writer_lease_ttl_steal_and_timeout(tmp_path):
         # a live holder: a second acquirer times out
         with pytest.raises(TimeoutError):
             WriterLease(root, ttl_s=5, timeout_s=0.2).acquire()
+
+
+def test_writer_lease_concurrent_expired_steal(tmp_path):
+    """N stealers racing one EXPIRED lock: the rename-steal grants at most
+    one holder at a time (a bare unlink-steal lets stealer B delete the
+    lock stealer A just created, double-granting — the exact interleave
+    the rename closes)."""
+    from rgm.checkpoint import WriterLease
+
+    root = str(tmp_path)
+    state = {"inside": 0, "max_inside": 0, "acquired": 0}
+    errs = []
+    gate = threading.Barrier(8)
+
+    def stealer():
+        try:
+            gate.wait()  # maximize contention on the same expired lock
+            with WriterLease(root, ttl_s=10, timeout_s=30):
+                state["inside"] += 1
+                state["max_inside"] = max(state["max_inside"], state["inside"])
+                time.sleep(0.002)
+                state["acquired"] += 1
+                state["inside"] -= 1
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    for _round in range(10):
+        with open(os.path.join(root, "_writer.lock"), "w") as f:
+            json.dump({"owner": "dead", "expires_utc": time.time() - 5}, f)
+        ts = [threading.Thread(target=stealer) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    assert not errs
+    assert state["max_inside"] == 1
+    assert state["acquired"] == 80
+    # no stale-steal temp files left behind
+    assert [p for p in os.listdir(root) if p.startswith("_writer.lock")] == []
 
 
 def test_compaction_vs_live_appender_lease(spark, tmp_path):
