@@ -514,7 +514,29 @@ def build_index(
 
     # -- stage 1: covers ----------------------------------------------------
     def _covered(src_df: DataFrame) -> DataFrame:
+        if "kind" not in src_df.columns and not (
+            "lat" in src_df.columns and "lng" in src_df.columns
+        ):
+            raise ValueError(
+                "build_index input needs a 'kind' column (point/cap/rect/"
+                "polygon) or bare lat/lng point columns; got "
+                f"{src_df.columns}"
+            )
         src = _ensure_region_cols(src_df)
+        # a bare (key, lat, lng) table is a point table: default null kind
+        # to 'point' where coordinates exist instead of silently indexing
+        # nothing (null kind used to fall into the region branch with
+        # all-null geometry -> empty covers -> an empty index)
+        src = src.withColumn(
+            "kind",
+            F.coalesce(
+                F.col("kind"),
+                F.when(
+                    F.col("lat").isNotNull() & F.col("lng").isNotNull(),
+                    F.lit("point"),
+                ),
+            ),
+        )
         src = src.withColumn(
             "max_cells", F.coalesce(F.col("max_cells"), F.lit(max_cells)).cast("int")
         )

@@ -326,6 +326,33 @@ def test_writer_lease_ttl_steal_and_timeout(tmp_path):
             WriterLease(root, ttl_s=5, timeout_s=0.2).acquire()
 
 
+def test_build_index_bare_point_table(spark, tmp_path):
+    """A bare (key, lat, lng) table — the mass product shape — indexes as
+    points: null/absent kind used to fall into the region branch with
+    all-null geometry and build a silently EMPTY index."""
+    from rgm import index as ridx
+    from rgm import query as rq
+
+    out = str(tmp_path / "idx_bare")
+    bare = spark.createDataFrame(
+        [(f"p{i}", 37.77 + i * 0.001, -122.42 + i * 0.001) for i in range(40)],
+        "key string, lat double, lng double",
+    )
+    ridx.build_index(spark, bare, "key", out, bucket=3, n_buckets=2)
+    q = spark.createDataFrame(
+        [("q1", "cap", 37.77, -122.42, 50_000.0)],
+        "query_id string, kind string, lat double, lng double, radius_m double",
+    )
+    assert rq.search(spark, out, q, refine=True).count() == 40
+
+    # no kind and no lat/lng: fail fast instead of building an empty index
+    junk = spark.createDataFrame([("a", 1)], "key string, x int")
+    with pytest.raises(ValueError, match="kind"):
+        ridx.build_index(
+            spark, junk, "key", str(tmp_path / "idx_junk"), bucket=3, n_buckets=2
+        )
+
+
 def test_writer_lease_concurrent_expired_steal(tmp_path):
     """N stealers racing one EXPIRED lock: the rename-steal grants at most
     one holder at a time (a bare unlink-steal lets stealer B delete the
