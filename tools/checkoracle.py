@@ -80,7 +80,10 @@ def main() -> None:
     # are a DIFFERENT 500-row table, so at any other sf the engine (which
     # correctly trains on the corpus it is given) mismatches the fixture
     # BY CONSTRUCTION (ADVICE r3 #4) — skip rather than report a bogus red.
-    sf_pinned = {"ann_ivf_topk": "/root/testdata/sf0.01"}
+    sf_pinned = {
+        "ann_ivf_topk": "/root/testdata/sf0.01",
+        "ann_ivf_topk_q": "/root/testdata/sf0.01",
+    }
     for name, fn in queries.items():
         if only and name not in only:
             continue
