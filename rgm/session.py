@@ -7,9 +7,10 @@ partition count matched to parallelism rather than the 200 default.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import shutil
 import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -20,12 +21,45 @@ def package_zip() -> str:
     On a real cluster this is the artifact passed to ``spark-submit
     --py-files``; locally we ``addPyFile`` it so Python workers can import
     ``rgm`` inside pandas UDFs.
+
+    The artifact is content-addressed (``rgm_pkg_<sha>.zip``) and written
+    atomically: SparkContext.addFile rejects a path whose bytes changed
+    since it was first registered, so a shared fixed path is a race on any
+    multi-session host — one session rewriting the zip (or a reader seeing
+    a half-written archive) aborts another session's running jobs with
+    "exists and does not match contents". Same source bytes always produce
+    the same file (sorted walk, fixed zip timestamps, __pycache__
+    excluded); different sources get different names.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    out = os.path.join(tempfile.gettempdir(), "rgm_pkg")
-    path = shutil.make_archive(out, "zip", root_dir=root, base_dir="rgm")
-    return path
+    members = []
+    digest = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".pyc"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root).replace(os.sep, "/")
+            with open(full, "rb") as f:
+                data = f.read()
+            digest.update(rel.encode())
+            digest.update(b"\0")
+            digest.update(data)
+            members.append((rel, data))
+    final = os.path.join(
+        tempfile.gettempdir(), f"rgm_pkg_{digest.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(final):
+        tmp = f"{final}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, data in members:
+                info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                info.external_attr = 0o644 << 16
+                zf.writestr(info, data)
+        os.replace(tmp, final)
+    return final
 
 
 def get_spark(

@@ -581,3 +581,29 @@ def test_media_queries_match_analytic_stats(spark):
     for did in list(fix.index)[:20]:
         assert v.loc[did, "n_frames"] == fix.loc[did, "n_frames"]
         assert v.loc[did, "mean_luma"] == fix.loc[did, "mean_luma"]  # bit-exact
+
+
+def test_package_zip_content_addressed_and_deterministic():
+    """SparkContext.addFile rejects a path whose bytes changed since first
+    registration, so the shipped rgm zip must be immutable per source state:
+    same source -> same path + same bytes (rebuilt from scratch), no
+    __pycache__/.pyc members (their bytes vary run-to-run), atomic publish
+    (no torn reads for a concurrent session)."""
+    import zipfile
+
+    from rgm.session import package_zip
+
+    p1 = package_zip()
+    assert os.path.basename(p1).startswith("rgm_pkg_") and p1.endswith(".zip")
+    b1 = open(p1, "rb").read()
+    assert package_zip() == p1  # cached: same source, same artifact
+    os.remove(p1)
+    p2 = package_zip()  # rebuilt from scratch
+    assert p2 == p1 and open(p2, "rb").read() == b1
+    names = zipfile.ZipFile(p2).namelist()
+    assert "rgm/__init__.py" in names and "rgm/session.py" in names
+    assert not any("__pycache__" in n or n.endswith(".pyc") for n in names)
+    assert not any(
+        f.startswith("rgm_pkg_") and f.endswith(".tmp")
+        for f in os.listdir(os.path.dirname(p2))
+    )
