@@ -91,6 +91,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addPyFile(package_zip())
+    sc = spark.sparkContext
+    sc.setLogLevel("WARN")
+    # getOrCreate returns the live context on repeat calls; re-adding the
+    # same zip is a no-op Spark warns about on every query, so ship once.
+    path = package_zip()
+    if getattr(sc, "_rgm_shipped_zip", None) != path:
+        sc.addPyFile(path)
+        sc._rgm_shipped_zip = path
     return spark
