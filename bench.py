@@ -266,7 +266,12 @@ def main() -> None:
             )
 
         # -- reference-shaped query batch: 2000 x 1 km caps ------------------
-        n_caps = 2000
+        # SPARK_GRAFT_BENCH_CAPS scales the batch for the query-floors proof
+        # (tools/qfloors.py); stage names keep the canonical 2000 tag, and
+        # qfloors logs to its own jsonl so scaled runs never pollute the
+        # stage-pair minima. Queries only — no committed index state depends
+        # on this knob, so resume reuse stays valid.
+        n_caps = int(os.environ.get("SPARK_GRAFT_BENCH_CAPS", "2000"))
         caps = spark.range(n_caps).select(
             F.concat(F.lit("c"), F.col("id")).alias("query_id"),
             F.lit("cap").alias("kind"),

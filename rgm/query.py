@@ -51,6 +51,72 @@ def _cover_queries(queries: DataFrame, bucket: int, max_cells: int) -> DataFrame
 # the query side in driver memory anyway
 SMALL_QUERY_ROWS = 100_000
 
+# ...but the covering KERNEL only runs on the driver below this row count.
+# BENCH/QUERY_FLOORS.md rep 0 measured the all-driver planner at ~0.46 ms
+# per cap query (14.9s serial at 32k caps), flat in cores — it pinned the
+# query stages' N→4N pair efficiency at ~0.29 regardless of batch size.
+# Above the threshold the kernel runs as one mapInPandas pass at default
+# parallelism and only the exploded (query_id, cell_id) frame returns to
+# the driver; below it, one ~2s Spark job floor would cost more than the
+# serial kernel saves.
+DRIVER_COVER_ROWS = int(os.environ.get("RGM_DRIVER_COVER_ROWS", "4096"))
+
+_Q_CELLS_SCHEMA = "query_id string, cell_id long, is_anc boolean, q_l3 long"
+_NUM_REGION_COLS = ("lat", "lng", "radius_m", "lat_lo", "lat_hi", "lng_lo", "lng_hi")
+
+
+def _explode_covers(qids: np.ndarray, cov: pd.DataFrame) -> pd.DataFrame:
+    """Covering kernel output (cells/ancs lists per query) -> flat
+    (query_id, cell_id, is_anc, q_l3) frame. Shared by the driver-side
+    planner and the distributed mapInPandas worker."""
+    lens_c = np.array([len(x) for x in cov["cells"]], dtype=np.int64)
+    lens_a = np.array([len(x) for x in cov["ancs"]], dtype=np.int64)
+    cid = np.concatenate(
+        [np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["cells"]])
+         if lens_c.sum() else np.empty(0, np.int64),
+         np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["ancs"]])
+         if lens_a.sum() else np.empty(0, np.int64)]
+    )
+    qid = np.concatenate([np.repeat(qids, lens_c), np.repeat(qids, lens_a)])
+    anc = np.concatenate(
+        [np.zeros(int(lens_c.sum()), bool), np.ones(int(lens_a.sum()), bool)]
+    )
+    cells_u = cm.from_spark(cid)
+    l3 = (
+        cm.to_spark(cm.parent(cells_u, np.full(len(cells_u), 3)))
+        if len(cells_u) else np.empty(0, np.int64)
+    )
+    return pd.DataFrame({"query_id": qid, "cell_id": cid, "is_anc": anc, "q_l3": l3})
+
+
+def _covers_distributed(
+    spark: SparkSession, q: DataFrame, bucket: int
+) -> pd.DataFrame:
+    """Run the covering kernel over the query batch as ONE mapInPandas pass
+    at default parallelism and collect only the exploded cell frame. The
+    query batch is still broadcast-regime small (<= SMALL_QUERY_ROWS), so
+    the result lands in driver memory exactly as the all-driver path's —
+    downstream planning (prefix list, local q_cells relation) is unchanged."""
+    from .udfs import compute_covers
+
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+    sel = q.select("query_id", *REGION_COLS).repartition(n_parts)
+
+    def worker(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for c in _NUM_REGION_COLS:
+                pdf[c] = pd.to_numeric(pdf[c], errors="coerce")
+            cov = compute_covers(
+                pdf["kind"], pdf["lat"], pdf["lng"], pdf["radius_m"],
+                pdf["lat_lo"], pdf["lat_hi"], pdf["lng_lo"], pdf["lng_hi"],
+                pdf["verts"], pdf["cell_id"], pdf["max_cells"], bucket,
+            )
+            yield _explode_covers(pdf["query_id"].to_numpy(), cov)
+
+    return sel.mapInPandas(worker, schema=_Q_CELLS_SCHEMA).toPandas()
+
 
 def plan_query_cells(
     spark: SparkSession,
@@ -73,46 +139,25 @@ def plan_query_cells(
         )
         rows = q.select("query_id", *REGION_COLS).limit(SMALL_QUERY_ROWS + 1).collect()
         if len(rows) <= SMALL_QUERY_ROWS:
-            from .udfs import compute_covers
-
             if not rows:
-                empty = spark.createDataFrame(
-                    [], "query_id string, cell_id long, is_anc boolean, q_l3 long"
-                )
+                empty = spark.createDataFrame([], _Q_CELLS_SCHEMA)
                 return empty, []
-            pdf = pd.DataFrame([r.asDict() for r in rows])
-            for c in ("lat", "lng", "radius_m", "lat_lo", "lat_hi", "lng_lo", "lng_hi"):
-                pdf[c] = pd.to_numeric(pdf[c], errors="coerce")
-            cov = compute_covers(
-                pdf["kind"], pdf["lat"], pdf["lng"], pdf["radius_m"],
-                pdf["lat_lo"], pdf["lat_hi"], pdf["lng_lo"], pdf["lng_hi"],
-                pdf["verts"], pdf["cell_id"], pdf["max_cells"], bucket,
-            )
-            qids = pdf["query_id"].to_numpy()
-            lens_c = np.array([len(x) for x in cov["cells"]], dtype=np.int64)
-            lens_a = np.array([len(x) for x in cov["ancs"]], dtype=np.int64)
-            cid = np.concatenate(
-                [np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["cells"]])
-                 if lens_c.sum() else np.empty(0, np.int64),
-                 np.concatenate([np.asarray(x, dtype=np.int64) for x in cov["ancs"]])
-                 if lens_a.sum() else np.empty(0, np.int64)]
-            )
-            qid = np.concatenate([np.repeat(qids, lens_c), np.repeat(qids, lens_a)])
-            anc = np.concatenate(
-                [np.zeros(int(lens_c.sum()), bool), np.ones(int(lens_a.sum()), bool)]
-            )
-            cells_u = cm.from_spark(cid)
-            l3 = (
-                cm.to_spark(cm.parent(cells_u, np.full(len(cells_u), 3)))
-                if len(cells_u) else np.empty(0, np.int64)
-            )
-            out = pd.DataFrame(
-                {"query_id": qid, "cell_id": cid, "is_anc": anc, "q_l3": l3}
-            )
-            q_cells = spark.createDataFrame(
-                out, schema="query_id string, cell_id long, is_anc boolean, q_l3 long"
-            )
-            return q_cells, sorted(set(int(x) for x in l3))
+            if len(rows) > DRIVER_COVER_ROWS:
+                out = _covers_distributed(spark, q, bucket)
+            else:
+                from .udfs import compute_covers
+
+                pdf = pd.DataFrame([r.asDict() for r in rows])
+                for c in _NUM_REGION_COLS:
+                    pdf[c] = pd.to_numeric(pdf[c], errors="coerce")
+                cov = compute_covers(
+                    pdf["kind"], pdf["lat"], pdf["lng"], pdf["radius_m"],
+                    pdf["lat_lo"], pdf["lat_hi"], pdf["lng_lo"], pdf["lng_hi"],
+                    pdf["verts"], pdf["cell_id"], pdf["max_cells"], bucket,
+                )
+                out = _explode_covers(pdf["query_id"].to_numpy(), cov)
+            q_cells = spark.createDataFrame(out, schema=_Q_CELLS_SCHEMA)
+            return q_cells, sorted(int(x) for x in pd.unique(out["q_l3"]))
     covered = _cover_queries(queries, bucket, max_cells)
     q_origin = covered.select(
         "query_id", F.explode("qcov.cells").alias("cell_id"), F.lit(False).alias("is_anc")
