@@ -174,6 +174,7 @@ def main() -> None:
         _IDX_DEPS = (
             "contains_2000_caps", "count_2000_caps", "knn_200",
             "contains_cap8", "contains_polygon", "knn",
+            "contains_2000_polygons",
         )
         if wanted("index_build"):
             shutil.rmtree(idx_path, ignore_errors=True)
@@ -287,6 +288,27 @@ def main() -> None:
         timed(
             "region_contains_2000",
             lambda: _count(rq.search(spark, region_idx, caps, refine=False)),
+        )
+        # same batch shape as generic quadrilaterals: exercises the batched
+        # polygon covering (cover_polygons_batch — the per-row scalar BFS
+        # was 71 ms/polygon, 2.4 min serial at this batch size) plus the
+        # ray-casting refinement. Not in HEADLINE: added r5, and headline
+        # membership must stay fixed for cross-round comparability.
+        d = 0.009  # ~1 km half-side in degrees latitude
+        polys = caps.select(
+            "query_id",
+            F.lit("polygon").alias("kind"),
+            F.array(
+                F.array(F.col("lat") - d, F.col("lng") - d),
+                F.array(F.col("lat") - d, F.col("lng") + d),
+                F.array(F.col("lat") + d, F.col("lng") + d),
+                F.array(F.col("lat") + d, F.col("lng") - d),
+            ).alias("verts"),
+            F.lit(30).alias("max_cells"),
+        )
+        timed(
+            "contains_2000_polygons",
+            lambda: _count(rq.search(spark, idx_path, polys, refine=True)),
         )
 
         # -- image payload pipeline (the north_star table: synth -> fidelity

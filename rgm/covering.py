@@ -284,6 +284,75 @@ def cover_rects_batch(
     return _cover_batch(classify, n, mc, max_level)
 
 
+def cover_polygons_batch(
+    rings: list,
+    max_cells: np.ndarray | int = 30,
+    max_level: int = cm.MAX_LEVEL,
+    pair_chunk: int = 2_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coverings for many polygons at once. Returns (region_idx, cell_id).
+
+    Per-region output is bit-identical to ``cover_polygon`` (same BFS, same
+    classify formulas — ``geo.rects_vs_rings`` is the row-batched form of
+    the scalar rect-vs-ring kernels, and the bounding caps come from the
+    same ``_bounding_cap``). Rings group by vertex count into rectangular
+    (R, M, 2) blocks so each BFS level classifies every in-flight
+    (cell, region) pair in a handful of numpy passes instead of a
+    per-region Python BFS (~71 ms/polygon -> ~amortized sub-ms). The pair
+    axis is chunked to ``pair_chunk``/M rows to bound the (P, 4, M)
+    temporaries.
+    """
+    rings = [np.asarray(v, dtype=np.float64) for v in rings]
+    n = len(rings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    mc = np.broadcast_to(np.asarray(max_cells, dtype=np.int64), (n,))
+
+    lens = np.array([len(v) for v in rings], dtype=np.int64)
+    group_rings: list[np.ndarray] = []
+    group_of = np.empty(n, dtype=np.int64)
+    local_of = np.empty(n, dtype=np.int64)
+    for g, m in enumerate(np.unique(lens)):
+        idx = np.nonzero(lens == m)[0]
+        group_of[idx] = g
+        local_of[idx] = np.arange(len(idx))
+        group_rings.append(np.stack([rings[i] for i in idx], axis=0))
+
+    # scalar bounding caps: exact parity with the per-region path's far test
+    cap_c = np.empty((n, 3), dtype=np.float64)
+    cap_r = np.empty(n, dtype=np.float64)
+    for i, v in enumerate(rings):
+        cap_c[i], cap_r[i] = _bounding_cap(v[:, 0], v[:, 1])
+
+    def classify(ids, reg):
+        centers, _, circ = _cell_geometry(ids)
+        far = geo.angle_between(centers, cap_c[reg]) > (cap_r[reg] + circ)
+        out = np.full(len(ids), _BOUNDARY, dtype=np.int8)
+        out[far] = _OUT
+        near = np.nonzero(~far)[0]
+        if not len(near):
+            return out
+        blat_lo, blat_hi, blng_lo, blng_hi = _cell_latlng_bbox(ids)
+        gid = group_of[reg[near]]
+        for g in np.unique(gid):
+            sel = near[gid == g]
+            m = group_rings[g].shape[1]
+            chunk = max(1, pair_chunk // max(4 * m, 1))
+            for s in range(0, len(sel), chunk):
+                ss = sel[s : s + chunk]
+                rr = group_rings[g][local_of[reg[ss]]]
+                inter, inside = geo.rects_vs_rings(
+                    blat_lo[ss], blat_hi[ss], blng_lo[ss], blng_hi[ss], rr
+                )
+                code = np.full(len(ss), _BOUNDARY, dtype=np.int8)
+                code[inside] = _IN
+                code[~inter] = _OUT
+                out[ss] = code
+        return out
+
+    return _cover_batch(classify, n, mc, max_level)
+
+
 def _cover(classify, max_cells: int, max_level: int) -> np.ndarray:
     def cls(ids, reg):
         return classify(ids)

@@ -205,6 +205,79 @@ def rect_inside_polygon(
     return all_in & ~crossed
 
 
+def rects_vs_rings(
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lng_lo: np.ndarray,
+    lng_hi: np.ndarray,
+    rings: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched exact rect-vs-ring tests: row i pairs rect i with ring
+    ``rings[i]`` ((P, M, 2) lat/lng vertices, closed implicitly).
+
+    Returns ``(intersects, inside)``, elementwise equal to
+    ``rect_intersects_polygon`` / ``rect_inside_polygon`` applied row by
+    row (same formulas evaluated per element, so bit-identical): shared
+    sub-predicates — ring vertex in rect, the 4 rect corners vs the ring
+    by half-open ray casting with the on-edge tolerance, and the 4 rect
+    edges vs all M ring edges through ``segments_cross``.
+    """
+    lat_lo, lat_hi, lng_lo, lng_hi = (
+        np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in (lat_lo, lat_hi, lng_lo, lng_hi)
+    )
+    rings = np.asarray(rings, dtype=np.float64)
+    p = len(lat_lo)
+    vy = rings[:, :, 0]  # (P, M)
+    vx = rings[:, :, 1]
+    vy2 = np.roll(vy, -1, axis=1)
+    vx2 = np.roll(vx, -1, axis=1)
+
+    # ring vertex inside rect
+    v_in = (
+        (vy >= lat_lo[:, None])
+        & (vy <= lat_hi[:, None])
+        & (vx >= lng_lo[:, None])
+        & (vx <= lng_hi[:, None])
+    ).any(axis=1)
+
+    # the 4 rect corners vs own ring (points_in_polygon per pair, same
+    # corner order as the scalar kernels)
+    cy = np.stack([lat_lo, lat_lo, lat_hi, lat_hi], axis=1)  # (P, 4)
+    cx = np.stack([lng_lo, lng_hi, lng_hi, lng_lo], axis=1)
+    y = cy[:, :, None]  # (P, 4, 1)
+    x = cx[:, :, None]
+    vyb, vxb = vy[:, None, :], vx[:, None, :]  # (P, 1, M)
+    vy2b, vx2b = vy2[:, None, :], vx2[:, None, :]
+    cond = (vyb > y) != (vy2b > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = vxb + (y - vyb) / (vy2b - vyb) * (vx2b - vxb)
+    inside_c = ((cond & (x < x_int)).sum(axis=2) % 2) == 1  # (P, 4)
+    ex = vx2b - vxb
+    ey = vy2b - vyb
+    wx = x - vxb
+    wy = y - vyb
+    seg2 = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip((wx * ex + wy * ey) / np.where(seg2 == 0, 1.0, seg2), 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    on_edge = ((dx * dx + dy * dy) < 1e-18).any(axis=2)  # (P, 4)
+    c_in = inside_c | on_edge
+
+    # 4 rect edges x M ring edges
+    rc = np.stack([cy, cx], axis=-1)  # (P, 4, 2) as (y, x)
+    r1, r2 = rc, np.roll(rc, -1, axis=1)
+    p1 = np.stack([vy, vx], axis=-1)  # (P, M, 2) as (y, x)
+    p2 = np.stack([vy2, vx2], axis=-1)
+    cross = segments_cross(
+        r1[:, :, None, :], r2[:, :, None, :], p1[:, None, :, :], p2[:, None, :, :]
+    ).reshape(p, -1).any(axis=1)
+
+    intersects = v_in | c_in.any(axis=1) | cross
+    inside = c_in.all(axis=1) & ~cross
+    return intersects, inside
+
+
 def polygons_edges_cross(a: np.ndarray, b: np.ndarray) -> bool:
     """True if any edge of ring a intersects (incl. touches) any edge of
     ring b. Rings are (M, 2) (lat, lng) arrays, closed implicitly."""

@@ -84,9 +84,17 @@ def _region_covers(
             out[idx] = cells[bounds[i] : bounds[i + 1]]
 
     sel = np.nonzero(kinds == "polygon")[0]
-    for idx in sel:
-        v = np.asarray([list(p) for p in verts.iloc[idx]], dtype=np.float64)
-        out[idx] = cov.cover_polygon(v, int(mc[idx]))
+    if len(sel):
+        rings = [
+            np.asarray([list(p) for p in verts.iloc[idx]], dtype=np.float64)
+            for idx in sel
+        ]
+        reg, cells = cov.cover_polygons_batch(rings, mc[sel])
+        order = np.argsort(reg, kind="stable")
+        reg, cells = reg[order], cells[order]
+        bounds = np.searchsorted(reg, np.arange(len(sel) + 1))
+        for i, idx in enumerate(sel):
+            out[idx] = cells[bounds[i] : bounds[i + 1]]
 
     sel = np.nonzero(kinds == "cell")[0]
     if len(sel):

@@ -158,3 +158,67 @@ def test_batch_rect_covers_match_single():
             cov.cover_rect(lo_lat[i], lo_lat[i] + 0.5, lo_lng[i], lo_lng[i] + 0.5, max_cells=20)
         )
         np.testing.assert_array_equal(single, np.sort(cells[reg == i]))
+
+
+def test_batch_polygon_covers_match_single():
+    """cover_polygons_batch must be BIT-identical per region to the scalar
+    cover_polygon BFS (same classify formulas via geo.rects_vs_rings), over
+    mixed vertex counts, both windings, degenerate collinear rings, and
+    per-region max_cells budgets."""
+    rng = np.random.default_rng(21)
+    rings = []
+    for i in range(40):
+        m = int(rng.integers(3, 12))
+        clat = rng.uniform(-65, 65)
+        clng = rng.uniform(-170, 170)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        if i % 2:
+            ang = ang[::-1]  # CW winding
+        r = rng.uniform(0.05, 3.0)
+        rings.append(
+            np.stack([clat + r * np.sin(ang), clng + r * np.cos(ang)], axis=1)
+        )
+    rings.append(np.array([[10.0, 20.0], [10.0, 21.0], [10.0, 22.0]]))  # collinear
+    rings.append(np.array([[5.0, 5.0], [5.5, 5.5]]))  # 2-vertex degenerate
+    mcs = rng.integers(4, 60, len(rings))
+
+    reg, cells = cov.cover_polygons_batch(rings, mcs)
+    order = np.argsort(reg, kind="stable")
+    reg, cells = reg[order], cells[order]
+    bounds = np.searchsorted(reg, np.arange(len(rings) + 1))
+    for i, v in enumerate(rings):
+        single = cov.cover_polygon(v, int(mcs[i]))
+        np.testing.assert_array_equal(single, cells[bounds[i] : bounds[i + 1]])
+
+
+def test_rects_vs_rings_matches_scalar_kernels():
+    """geo.rects_vs_rings row i == (rect_intersects_polygon,
+    rect_inside_polygon) of rect i vs ring i."""
+    rng = np.random.default_rng(22)
+    n = 300
+    lat_lo = rng.uniform(-60, 60, n)
+    lng_lo = rng.uniform(-170, 170, n)
+    lat_hi = lat_lo + rng.uniform(0.01, 2.0, n)
+    lng_hi = lng_lo + rng.uniform(0.01, 2.0, n)
+    m = 7
+    rings = np.empty((n, m, 2))
+    for i in range(n):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        r = rng.uniform(0.05, 4.0)
+        cy = lat_lo[i] + rng.uniform(-1.0, 1.0)
+        cx = lng_lo[i] + rng.uniform(-1.0, 1.0)
+        rings[i, :, 0] = cy + r * np.sin(ang)
+        rings[i, :, 1] = cx + r * np.cos(ang)
+
+    inter_b, inside_b = geo.rects_vs_rings(lat_lo, lat_hi, lng_lo, lng_hi, rings)
+    for i in range(n):
+        inter_s = geo.rect_intersects_polygon(
+            lat_lo[i : i + 1], lat_hi[i : i + 1], lng_lo[i : i + 1], lng_hi[i : i + 1],
+            rings[i],
+        )[0]
+        inside_s = geo.rect_inside_polygon(
+            lat_lo[i : i + 1], lat_hi[i : i + 1], lng_lo[i : i + 1], lng_hi[i : i + 1],
+            rings[i],
+        )[0]
+        assert inter_b[i] == inter_s and inside_b[i] == inside_s, i
+    assert inter_b.any() and (~inter_b).any()  # the sample exercises both
