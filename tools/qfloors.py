@@ -40,7 +40,13 @@ sys.path.insert(0, ROOT)
 LOG = os.path.join(ROOT, "BENCH", "qfloors.jsonl")
 REPORT = os.path.join(ROOT, "BENCH", "QUERY_FLOORS.md")
 SF = "/root/testdata/sf0.1"
-QUERY_STAGES = ("contains_2000_caps", "count_2000_caps", "region_contains_2000")
+QUERY_STAGES = (
+    "contains_2000_caps",
+    "count_2000_caps",
+    "region_contains_2000",
+    # r5: batched polygon covering (rep >= 3 legs only; earlier reps show —)
+    "contains_2000_polygons",
+)
 
 
 def run_query_leg(cpus: int, n_caps: int) -> dict[str, float]:
