@@ -180,6 +180,13 @@ def test_batch_polygon_covers_match_single():
         )
     rings.append(np.array([[10.0, 20.0], [10.0, 21.0], [10.0, 22.0]]))  # collinear
     rings.append(np.array([[5.0, 5.0], [5.5, 5.5]]))  # 2-vertex degenerate
+    # planar-lng edge shapes: dateline-spanning and near-polar rings (the
+    # engine's region semantics are planar lat/lng — the contract here is
+    # only batch == scalar, whatever the scalar planar semantics yield)
+    rings.append(
+        np.array([[10.0, 179.5], [10.0, -179.5], [11.0, -179.5], [11.0, 179.5]])
+    )
+    rings.append(np.array([[88.5, -120.0], [88.5, 0.0], [89.5, 0.0], [89.5, 120.0]]))
     mcs = rng.integers(4, 60, len(rings))
 
     reg, cells = cov.cover_polygons_batch(rings, mcs)
